@@ -1,0 +1,42 @@
+"""Riemann-sphere stereographic coordinate maps.
+
+The Neural Laplace representation network never sees raw complex numbers:
+both its query points ``s`` and its output ``F(s)`` live on the Riemann
+sphere as bounded angles ``(theta, phi)`` (Neural Laplace, arXiv 2206.04843
+§3; consumed by the reference at w_nl.py:55-63 where the MLP input width is
+``2*s_terms + latent`` and the output is split into theta/phi).
+
+Forward map (complex plane -> sphere):
+    theta = atan2(Im s, Re s)                     in (-pi, pi]
+    phi   = arcsin((|s|^2 - 1) / (|s|^2 + 1))     in (-pi/2, pi/2)
+
+Inverse map (sphere -> complex plane):
+    s = cos(phi) / (1 - sin(phi)) * exp(i theta)
+
+Both maps are elementwise, dtype-polymorphic and jit/vmap/grad-clean.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def complex_to_spherical(s: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Map complex array -> (theta, phi) Riemann-sphere angles."""
+    s_real = jnp.real(s)
+    s_imag = jnp.imag(s)
+    theta = jnp.arctan2(s_imag, s_real)
+    mag2 = s_real * s_real + s_imag * s_imag
+    phi = jnp.arcsin((mag2 - 1.0) / (mag2 + 1.0))
+    return theta, phi
+
+
+def spherical_to_complex(theta: jnp.ndarray, phi: jnp.ndarray) -> jnp.ndarray:
+    """Map (theta, phi) Riemann-sphere angles -> complex array.
+
+    ``phi`` must lie strictly inside (-pi/2, pi/2); phi -> pi/2 is the point
+    at infinity. The representation nets guarantee this by construction via
+    bounded tanh outputs (see models.nl.LaplaceRepresentationFunc).
+    """
+    r = jnp.cos(phi) / (1.0 - jnp.sin(phi))
+    return jnp.asarray(r * jnp.cos(theta) + 1j * r * jnp.sin(theta))

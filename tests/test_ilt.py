@@ -1,0 +1,161 @@
+"""ILT operator library tests: analytic transform pairs, jit/vmap/grad
+cleanliness, sphere roundtrips, and the high-level laplace_reconstruct.
+
+These are the unit tests the reference lacks (SURVEY.md §4): the ILT there is
+an external dependency (torchlaplace, called at reference w_nl.py:136-145).
+Accuracy target from BASELINE.md: reconstruction MSE <= 1e-5.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neurallaplacecontrol_tpu.ops import (
+    complex_to_spherical,
+    spherical_to_complex,
+    inverse_laplace,
+    ilt_query_points,
+    ilt_combine,
+    laplace_reconstruct,
+)
+
+TS = jnp.linspace(0.05, 4.0, 40, dtype=jnp.float64)
+
+PAIRS = {
+    "exp": (lambda s: 1.0 / (s + 1.0), lambda t: np.exp(-t)),
+    "sin": (lambda s: 1.0 / (s**2 + 1.0), lambda t: np.sin(t)),
+    "ramp": (lambda s: 1.0 / s**2, lambda t: t),
+    "damped_cos": (
+        lambda s: (s + 1.0) / ((s + 1.0) ** 2 + 4.0),
+        lambda t: np.cos(2.0 * t) * np.exp(-t),
+    ),
+}
+
+
+@pytest.mark.parametrize("alg,terms,tol", [
+    ("dehoog", 17, 1e-8),
+    ("dehoog", 33, 1e-8),
+    ("fixed_talbot", 17, 1e-5),
+    ("fixed_talbot", 33, 1e-5),
+    ("euler", 33, 1e-8),
+    ("stehfest", 16, 1e-2),
+])
+@pytest.mark.parametrize("pair", list(PAIRS))
+def test_analytic_pairs(alg, terms, tol, pair):
+    F, f_true = PAIRS[pair]
+    f = np.asarray(inverse_laplace(F, TS, terms=terms, algorithm=alg))
+    mse = float(np.mean((f - f_true(np.asarray(TS))) ** 2))
+    assert mse <= tol, f"{alg}({terms}) on {pair}: mse={mse}"
+
+
+def test_north_star_accuracy():
+    """BASELINE.md: ILT reconstruction MSE <= 1e-5 on all pairs."""
+    for name, (F, f_true) in PAIRS.items():
+        f = np.asarray(inverse_laplace(F, TS, terms=33, algorithm="dehoog"))
+        mse = float(np.mean((f - f_true(np.asarray(TS))) ** 2))
+        assert mse <= 1e-5, f"{name}: {mse}"
+
+
+def test_fourier_is_linear_fixed_basis():
+    """The fourier combine is a fixed linear map of Re/Im F — the property the
+    NL model trains through (any basis error is absorbed by the learned F)."""
+    t = TS[:8]
+    terms = 17
+    s = ilt_query_points(t, terms, "fourier")
+    F1 = 1.0 / (s + 1.0)
+    F2 = 1.0 / (s**2 + 1.0)
+    a, b = 0.7, -1.3
+    lhs = ilt_combine(a * F1 + b * F2, t, terms, "fourier")
+    rhs = a * ilt_combine(F1, t, terms, "fourier") + b * ilt_combine(F2, t, terms, "fourier")
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), rtol=1e-10)
+
+
+def test_fourier_convergence_with_terms():
+    """Truncated fourier error decays as terms grow (O(1/N))."""
+    F, f_true = PAIRS["sin"]
+    errs = []
+    for terms in (17, 65, 257):
+        f = np.asarray(inverse_laplace(F, TS, terms=terms, algorithm="fourier"))
+        errs.append(float(np.mean((f - f_true(np.asarray(TS))) ** 2)))
+    assert errs[0] > errs[1] > errs[2]
+    assert errs[2] < 1e-4
+
+
+@pytest.mark.parametrize("alg", ["fourier", "dehoog", "stehfest", "fixed_talbot", "euler", "cme"])
+def test_jit_vmap_consistency(alg):
+    F = PAIRS["exp"][0]
+    terms = 17
+
+    def single(t):
+        return inverse_laplace(F, t, terms=terms, algorithm=alg)
+
+    direct = single(TS)
+    jitted = jax.jit(single)(TS)
+    vmapped = jax.vmap(lambda t: single(t[None])[0])(TS)
+    # stehfest's large alternating weights amplify reduction-order rounding
+    tol = 1e-5 if alg == "stehfest" else 1e-8
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(jitted), rtol=tol, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(vmapped), rtol=tol, atol=1e-10)
+
+
+def test_grad_through_fourier():
+    """Gradients flow through the ILT to parameters of F (training path)."""
+
+    def loss(a):
+        def F(s):
+            return 1.0 / (s + a)
+
+        f = inverse_laplace(F, TS, terms=17, algorithm="fourier")
+        return jnp.sum(f**2)
+
+    g = jax.grad(loss)(1.5)
+    assert np.isfinite(float(g)) and abs(float(g)) > 0
+
+
+def test_sphere_roundtrip(key):
+    z = jax.random.normal(key, (64,), dtype=jnp.float64) + 1j * jax.random.normal(
+        jax.random.fold_in(key, 1), (64,), dtype=jnp.float64
+    )
+    theta, phi = complex_to_spherical(z)
+    assert np.all(np.abs(np.asarray(theta)) <= np.pi)
+    assert np.all(np.abs(np.asarray(phi)) <= np.pi / 2)
+    z2 = spherical_to_complex(theta, phi)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z2), rtol=1e-9, atol=1e-9)
+
+
+def test_laplace_reconstruct_shapes_and_values():
+    """laplace_reconstruct with an oracle rep_fn reproduces f(t) per dim.
+
+    rep_fn returns the sphere coordinates of the true F at the query points,
+    so reconstruction must match direct inversion — checks the wiring of
+    sphere maps + combine that the NL model uses (reference w_nl.py:117-145).
+    """
+    B, D, terms = 12, 3, 33
+    t = jnp.linspace(0.1, 2.0, B, dtype=jnp.float64)
+    decay = jnp.asarray([0.5, 1.0, 2.0], dtype=jnp.float64)
+
+    def rep_fn(theta_s, phi_s, p):
+        s = spherical_to_complex(theta_s, phi_s)  # [B, terms]
+        F = 1.0 / (s[:, None, :] + decay[None, :, None])  # [B, D, terms]
+        return complex_to_spherical(F)
+
+    p = jnp.zeros((B, 4), dtype=jnp.float64)
+    out = laplace_reconstruct(rep_fn, p, t, recon_dim=D, algorithm="dehoog", terms=terms)
+    assert out.shape == (B, D)
+    expected = np.exp(-np.asarray(decay)[None, :] * np.asarray(t)[:, None])
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-6)
+
+    # [B,1]-shaped times (reference call shape, w_nl.py:136-145)
+    out2 = laplace_reconstruct(rep_fn, p, t[:, None], recon_dim=D, algorithm="dehoog", terms=terms)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out))
+
+
+def test_f32_path_finite():
+    """f32 (TPU default) stays finite and close to f64 for moderate terms."""
+    t32 = TS.astype(jnp.float32)
+    F = PAIRS["damped_cos"][0]
+    f32 = np.asarray(inverse_laplace(F, t32, terms=17, algorithm="fourier"))
+    f64 = np.asarray(inverse_laplace(F, TS, terms=17, algorithm="fourier"))
+    assert np.all(np.isfinite(f32))
+    np.testing.assert_allclose(f32, f64, atol=5e-3)
