@@ -1,0 +1,114 @@
+"""Neural Laplace dynamics model (the flagship).
+
+Architecture per reference w_nl.py:
+- ReverseGRUEncoder (:14-29): the action buffer is flipped along time and
+  run through a 2-layer GRU (hidden = nl_hidden_units//2 = 64), last hidden
+  state -> Linear -> 2-dim action latent.
+- LaplaceRepresentationFunc (:32-63): MLP (2*terms + latent) -> hidden ->
+  hidden -> 2*terms*out_dim with tanh activations; outputs split into
+  Riemann-sphere angles theta in (-pi, pi), phi in (-pi/2, pi/2) via scaled
+  tanh.
+- forward (:117-145): normalize state/action (time by dt*8), encode actions,
+  p = concat(obs, action_latent), reconstruct the state-diff through the ILT
+  (ops.ilt.laplace_reconstruct, default algorithm 'fourier', 17 terms).
+
+TPU notes: the whole forward is one fused jit region — two GRU scans over a
+4-long buffer, one MLP over [B, 2*terms+latent], and the ILT combine (a
+[B, D, terms] weighted reduction; see ops.pallas_ilt for the hand-fused
+variant). bfloat16-friendly: all matmuls hit the MXU; the ILT runs in f32.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import snap_cme_terms
+from ..ops.ilt import laplace_reconstruct
+from .base import DynamicsModel, NormStats
+from .common import gru_apply, gru_init, linear_apply, linear_init, mlp_apply_tanh, mlp_init
+
+_ACTION_LATENT = 2  # w_nl.py:89
+
+
+def make_nl_model(
+    state_dim: int,
+    action_dim: int,
+    norm: NormStats,
+    hidden_units: int = 128,
+    s_recon_terms: int = 17,
+    ilt_algorithm: str = "fourier",
+    encode_obs_time: bool = False,
+    normalize: bool = True,
+    normalize_time: bool = True,
+    dt: float = 0.05,
+    dtype=jnp.float32,
+) -> DynamicsModel:
+    if ilt_algorithm == "cme":
+        s_recon_terms = snap_cme_terms(s_recon_terms)  # w_nl.py:86-88
+    laplace_latent_dim = state_dim + _ACTION_LATENT  # w_nl.py:90
+    gru_in = action_dim + (1 if encode_obs_time else 0)
+    gru_hidden = hidden_units // 2
+
+    state_mean = jnp.asarray(norm.state_mean, dtype)
+    state_std = jnp.asarray(norm.state_std, dtype)
+    action_mean = jnp.asarray(norm.action_mean, dtype)
+    action_std = jnp.asarray(norm.action_std, dtype)
+
+    def init(key):
+        k_gru, k_enc_out, k_mlp = jax.random.split(key, 3)
+        return {
+            "encoder": {
+                "gru": gru_init(k_gru, gru_in, gru_hidden, num_layers=2, dtype=dtype),
+                "out": linear_init(k_enc_out, gru_hidden, _ACTION_LATENT, dtype=dtype),
+            },
+            "laplace_rep": mlp_init(
+                k_mlp,
+                [
+                    s_recon_terms * 2 + laplace_latent_dim,
+                    hidden_units,
+                    hidden_units,
+                    s_recon_terms * 2 * state_dim,
+                ],
+                dtype=dtype,
+            ),
+        }
+
+    def rep_fn(params, theta_s, phi_s, p):
+        """(theta_s, phi_s)[B,terms] + p[B,L] -> sphere angles [B,D,terms]."""
+        x = jnp.concatenate([theta_s, phi_s, p], axis=-1)
+        out = mlp_apply_tanh(params, x)
+        out = out.reshape(out.shape[:-1] + (2 * state_dim, s_recon_terms))
+        theta = jnp.tanh(out[..., :state_dim, :]) * jnp.pi  # (-pi, pi)
+        phi = jnp.tanh(out[..., state_dim:, :]) * (jnp.pi / 2.0)  # (-pi/2, pi/2)
+        return theta, phi
+
+    def apply(params, obs, action_buffer, ts):
+        """obs [B,n], action_buffer [B,A,m(+t)], ts [B,1] or [B] -> [B,n]."""
+        if normalize:
+            obs_n = (obs - state_mean) / state_std
+            act_n = (action_buffer - action_mean) / action_std
+            if normalize_time:
+                ts = ts / (dt * 8.0)  # w_nl.py:123
+        else:
+            obs_n = obs
+            act_n = action_buffer / 3.0  # w_nl.py:129
+        if act_n.ndim == 2:
+            act_n = act_n[:, None, :]
+        # reverse GRU encoder (w_nl.py:25-29): flip time, 2-layer GRU, linear
+        rev = jnp.flip(act_n, axis=1)
+        h = gru_apply(params["encoder"]["gru"], rev)
+        p_action = linear_apply(params["encoder"]["out"], h)
+        p = jnp.concatenate([obs_n, p_action], axis=-1)
+        return laplace_reconstruct(
+            partial(rep_fn, params["laplace_rep"]),
+            p,
+            ts,
+            recon_dim=state_dim,
+            algorithm=ilt_algorithm,
+            terms=s_recon_terms,
+        )
+
+    return DynamicsModel(name="nl", init=init, apply=apply)
