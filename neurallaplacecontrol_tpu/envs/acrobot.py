@@ -126,5 +126,5 @@ def make(dt=0.05, ts_grid="fixed", obs_noise=0.0, friction=False) -> Env:
         reward_state=reward_state,
         reward_action=reward_action,
         reset=reset,
-        state_max=jnp.asarray([jnp.pi, jnp.pi, 5.0, 5.0]),  # overlay.py:694
+        state_max=(float(jnp.pi), float(jnp.pi), 5.0, 5.0),  # overlay.py:694
     )

@@ -55,7 +55,7 @@ class Env:
     reward_state: Callable  # state (raw or obs form) -> reward
     reward_action: Callable  # action -> reward
     reset: Callable  # key -> raw state
-    state_max: jnp.ndarray  # synthetic-data sampling box (overlay.py:689-694)
+    state_max: tuple  # synthetic-data sampling box (overlay.py:689-694)
 
     def diff_reward(self, s, a):
         """reward_state + reward_action (base_env.py:94-97)."""

@@ -127,5 +127,5 @@ def make(dt=0.05, ts_grid="fixed", obs_noise=0.0, friction=False) -> Env:
         reward_state=reward_state,
         reward_action=reward_action,
         reset=reset,
-        state_max=jnp.asarray([5.0, 20.0, jnp.pi, 30.0]),  # overlay.py:690
+        state_max=(5.0, 20.0, float(jnp.pi), 30.0),  # overlay.py:690
     )

@@ -1,1 +1,9 @@
-"""parallel subpackage (populated incrementally)."""
+"""Multi-chip parallelism: meshes, sharded train steps, K-sharded MPPI."""
+
+from .sharding import (  # noqa: F401
+    make_mesh,
+    nl_param_pspecs,
+    shard_params,
+    make_sharded_train_step,
+    make_k_sharded_mppi_command,
+)

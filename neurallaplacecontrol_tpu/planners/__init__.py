@@ -1,1 +1,11 @@
-"""planners subpackage (populated incrementally)."""
+"""Planners: delay-aware MPPI."""
+
+from .mppi_delay import (  # noqa: F401
+    MPPIConfig,
+    MPPIParams,
+    make_mppi_params,
+    default_noise_sigma,
+    mppi_reset,
+    mppi_command,
+    mppi_rollout_states,
+)

@@ -1,0 +1,191 @@
+"""Delay-aware Model Predictive Path Integral control, as pure functions.
+
+Functional rebuild of reference planners/mppi_delay.py (MPPIDelay, Williams
+et al. 2017 Algorithm 2 with an action-history buffer for delayed systems).
+The reference's per-step Python loop over the horizon (:271-296) becomes a
+single ``lax.scan``; the K-sample batch is one tensor dimension, shardable
+across chips via parallel.sharding.shard_mppi_dynamics.
+
+State that the reference keeps on ``self`` (the receding-horizon control
+sequence ``U``, planners/mppi_delay.py:159-164,199-200) is explicit carry
+here: ``command`` takes and returns ``U``.
+
+Algorithm (matching :193-224, :232-313, :315-345):
+  1. U <- roll(U, -1); U[-1] = u_init
+  2. noise ~ N(0, Sigma)  [K, T, nu];  perturbed = U + noise, bounded to
+     [u_min, u_max] in scaled units; noise recomputed after bounding
+  3. windows: prepend the action history buffer[1:] to the scaled perturbed
+     actions; the dynamics at step t sees the sliding window
+     full[:, t : t + A, :]  (A = action buffer size)
+  4. rollout under the dynamics closure, accumulating running costs
+  5. cost += lambda * sum_t U_t . (Sigma^-1 noise_t)
+  6. omega = softmax(-(cost - min cost)/lambda); U += sum_k omega_k noise_k
+  7. action = u_scale * U[0]
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@dataclass(frozen=True)
+class MPPIConfig:
+    """Static planner shape/knobs (hashable; safe to close over in jit)."""
+
+    num_samples: int  # K
+    horizon: int  # T
+    nu: int
+    lambda_: float = 1.0
+    u_scale: float = 1.0  # multiplies unit-scale controls into env units
+    u_min: float = -1.0  # env units (ACTION_LOW)
+    u_max: float = 1.0  # env units (ACTION_HIGH)
+    sample_null_action: bool = False
+    noise_abs_cost: bool = False
+
+
+class MPPIParams(NamedTuple):
+    """Array-valued planner parameters (a pytree)."""
+
+    noise_sigma: jnp.ndarray  # [nu, nu]
+    noise_sigma_inv: jnp.ndarray  # [nu, nu]
+    noise_chol: jnp.ndarray  # [nu, nu] lower-triangular
+    u_init: jnp.ndarray  # [nu]
+
+
+def make_mppi_params(noise_sigma: jnp.ndarray, u_init: Optional[jnp.ndarray] = None) -> MPPIParams:
+    noise_sigma = jnp.atleast_2d(jnp.asarray(noise_sigma))
+    nu = noise_sigma.shape[0]
+    return MPPIParams(
+        noise_sigma=noise_sigma,
+        noise_sigma_inv=jnp.linalg.inv(noise_sigma),
+        noise_chol=jnp.linalg.cholesky(noise_sigma),
+        u_init=jnp.zeros(nu, noise_sigma.dtype) if u_init is None else u_init,
+    )
+
+
+def default_noise_sigma(nu: int, sigma: float, dtype=jnp.float32) -> jnp.ndarray:
+    """Sigma = sigma^2 * (0.5 I + 0.5 * 11^T) (mppi_with_model.py:66-70)."""
+    gamma = sigma**2
+    off = 0.5 * gamma
+    return jnp.ones((nu, nu), dtype) * off + jnp.eye(nu, dtype=dtype) * (gamma - off)
+
+
+def mppi_reset(key: jax.Array, cfg: MPPIConfig, params: MPPIParams) -> jnp.ndarray:
+    """Fresh control sequence U ~ N(0, Sigma) per timestep (:163-164, :230)."""
+    z = jax.random.normal(key, (cfg.horizon, cfg.nu), dtype=params.noise_chol.dtype)
+    return z @ params.noise_chol.T
+
+
+def _sample_noise(key, cfg: MPPIConfig, params: MPPIParams) -> jnp.ndarray:
+    z = jax.random.normal(
+        key, (cfg.num_samples, cfg.horizon, cfg.nu), dtype=params.noise_chol.dtype
+    )
+    return z @ params.noise_chol.T
+
+
+def mppi_command(
+    cfg: MPPIConfig,
+    params: MPPIParams,
+    dynamics_fn: Callable,  # (state [K,nx], action_window [K,A,nu]) -> [K,nx]
+    running_cost_fn: Callable,  # (state [K,nx], action [K,nu]) -> cost [K]
+    U: jnp.ndarray,  # [T, nu] carry
+    obs: jnp.ndarray,  # [nx] current observation
+    action_buffer: jnp.ndarray,  # [A, nu] action history (env units)
+    key: jax.Array,
+    terminal_state_cost: Optional[Callable] = None,
+):
+    """One planning step. Returns (action [nu] in env units, new U, aux)."""
+    K, T, nu = cfg.num_samples, cfg.horizon, cfg.nu
+    A = action_buffer.shape[0]
+
+    # 1. receding horizon shift
+    U = jnp.roll(U, -1, axis=0).at[-1].set(params.u_init)
+
+    # 2. sample, bound, recompute noise (:319-328)
+    noise = _sample_noise(key, cfg, params)
+    perturbed = U[None] + noise
+    if cfg.sample_null_action:
+        perturbed = perturbed.at[K - 1].set(0.0)
+    perturbed = jnp.clip(perturbed * cfg.u_scale, cfg.u_min, cfg.u_max) / cfg.u_scale
+    noise = perturbed - U[None]
+
+    # action perturbation cost (:329-335)
+    if cfg.noise_abs_cost:
+        action_cost = cfg.lambda_ * jnp.abs(noise) @ params.noise_sigma_inv
+    else:
+        action_cost = cfg.lambda_ * noise @ params.noise_sigma_inv
+
+    # 3. sliding action windows with prepended history (:256-277)
+    scaled = perturbed * cfg.u_scale  # [K, T, nu] env units
+    hist = jnp.broadcast_to(action_buffer[1:][None], (K, A - 1, nu))
+    full = jnp.concatenate([hist, scaled], axis=1)  # [K, A-1+T, nu]
+    idx = jnp.arange(T)[:, None] + jnp.arange(A)[None, :]  # [T, A]
+    windows = full[:, idx, :]  # [K, T, A, nu]
+    windows = jnp.swapaxes(windows, 0, 1)  # [T, K, A, nu]
+
+    # 4. rollout (:271-296) as one scan over the horizon
+    state0 = jnp.broadcast_to(obs[None], (K,) + obs.shape)
+
+    def rollout_step(state, window):
+        state = dynamics_fn(state, window)
+        u = window[:, -1, :]  # current executed action (:288)
+        c = running_cost_fn(state, u)
+        return state, (c, state)
+
+    _, (costs, states) = lax.scan(rollout_step, state0, windows)
+    cost_total = jnp.sum(costs, axis=0)  # [K]
+
+    if terminal_state_cost is not None:
+        # states: [T, K, nx] -> [K, T, nx]; actions likewise (:306-308)
+        cost_total = cost_total + terminal_state_cost(
+            jnp.swapaxes(states, 0, 1), jnp.swapaxes(windows[..., -1, :], 0, 1)
+        )
+
+    # 5. perturbation cost (:343-344)
+    cost_total = cost_total + jnp.sum(U[None] * action_cost, axis=(1, 2))
+
+    # 6. softmax weighting + control update (:210-216)
+    beta = jnp.min(cost_total)
+    weights = jnp.exp(-(cost_total - beta) / cfg.lambda_)
+    omega = weights / jnp.sum(weights)
+    U = U + jnp.sum(omega[:, None, None] * noise, axis=0)
+
+    # 7. first action, env units (:217-224)
+    action = U[0] * cfg.u_scale
+    aux = {"cost_total": cost_total, "omega": omega}
+    return action, U, aux
+
+
+def mppi_rollout_states(
+    cfg: MPPIConfig,
+    dynamics_fn: Callable,
+    obs: jnp.ndarray,
+    U: jnp.ndarray,
+    action_buffer: jnp.ndarray,
+    num_rollouts: int = 1,
+) -> jnp.ndarray:
+    """Visualize the current plan: roll U (no noise) through the dynamics.
+
+    Counterpart of MPPIDelay.get_rollouts (reference :358-381), generalized
+    to the delay-aware window format.
+    """
+    A = action_buffer.shape[0]
+    T = U.shape[0]
+    scaled = jnp.broadcast_to(U[None] * cfg.u_scale, (num_rollouts, T, cfg.nu))
+    hist = jnp.broadcast_to(action_buffer[1:][None], (num_rollouts, A - 1, cfg.nu))
+    full = jnp.concatenate([hist, scaled], axis=1)
+    idx = jnp.arange(T)[:, None] + jnp.arange(A)[None, :]
+    windows = jnp.swapaxes(full[:, idx, :], 0, 1)
+    state0 = jnp.broadcast_to(obs[None], (num_rollouts,) + obs.shape)
+
+    def step(state, window):
+        state = dynamics_fn(state, window)
+        return state, state
+
+    _, states = lax.scan(step, state0, windows)
+    return jnp.swapaxes(states, 0, 1)  # [num_rollouts, T, nx]

@@ -1,0 +1,116 @@
+"""Policy evaluation: model + delay-aware MPPI on a real env episode.
+
+Equivalent of reference mppi_with_model.mppi_with_model_evaluate_single_step
+(:31-325), with the whole episode compiled on-device. Multi-seed evaluation
+is a vmap over PRNG keys instead of a 12-worker process pool
+(run_exp_multi.py:144-165).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..envs import make_env
+from ..planners import MPPIConfig, default_noise_sigma, make_mppi_params
+from .rollout import (
+    EpisodeSettings,
+    build_learned_dynamics,
+    build_oracle_dynamics,
+    make_batched_episode_fn,
+)
+
+EVAL_MODELS = ("nl", "oracle", "random", "delta_t_rnn", "rnn", "node", "latent_ode")
+
+
+def evaluate_policy(
+    model_name: str,
+    env_name: str,
+    action_delay: int,
+    seeds,
+    config: Config = Config(),
+    model_apply=None,
+    params=None,
+    roll_outs: Optional[int] = None,
+    time_steps: Optional[int] = None,
+) -> dict:
+    """Run one episode per seed; returns the reference's result dict fields
+    plus per-seed returns.
+
+    total_reward is rescaled by 200/n_steps (mppi_with_model.py:301).
+    """
+    assert model_name in EVAL_MODELS, model_name
+    roll_outs = roll_outs or config.mppi_roll_outs
+    time_steps = time_steps or config.mppi_time_steps
+    dt = config.dt
+    env = make_env(env_name, dt=dt, friction=config.friction)
+    spec = env.spec
+
+    mppi_cfg = MPPIConfig(
+        num_samples=roll_outs,
+        horizon=time_steps,
+        nu=spec.m,
+        # the reference hardcodes lambda=1.0 at mppi_with_model.py:72,
+        # ignoring the configured mppi_lambda; we honour the config.
+        lambda_=config.mppi_lambda,
+        u_scale=spec.action_high,
+        u_min=-spec.action_high,
+        u_max=spec.action_high,
+    )
+    dtype = jnp.result_type(float)  # f64 under jax_enable_x64, else f32
+    mppi_params = make_mppi_params(default_noise_sigma(spec.m, config.mppi_sigma, dtype=dtype))
+
+    if model_name == "oracle":
+        dynamics = build_oracle_dynamics(env, roll_outs, dt, action_delay)
+    elif model_name == "random":
+        dynamics = None
+    else:
+        assert model_apply is not None and params is not None, (
+            "learned models need model_apply/params (train first; "
+            "training.train.train_model returns them)"
+        )
+        dynamics = build_learned_dynamics(
+            env, model_apply, params, roll_outs, dt,
+            action_buffer_size=config.action_buffer_size,
+            encode_obs_time=config.encode_obs_time and model_name == "nl",
+        )
+
+    settings = EpisodeSettings(
+        delay=action_delay,
+        n_steps=int(10.0 / dt),  # 10-second episodes (mppi_with_model.py:235-238)
+        action_buffer_size=config.action_buffer_size,
+        observation_noise=config.observation_noise,
+        random_policy=model_name == "random",
+    )
+
+    episode_batch = make_batched_episode_fn(env, dynamics, mppi_cfg, mppi_params, settings)
+    keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+
+    t0 = time.perf_counter()
+    totals, records = episode_batch(keys)
+    totals.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    scale = 200.0 / settings.n_steps
+    totals = jnp.asarray(totals) * scale
+    n = len(list(seeds))
+    return {
+        "model_name": model_name,
+        "env_name": env_name,
+        "roll_outs": roll_outs,
+        "time_steps": time_steps,
+        "dt": dt,
+        "delay": action_delay,
+        "planner": "mpc",
+        "seeds": list(map(int, seeds)),
+        "total_rewards": [float(x) for x in totals],
+        "total_reward": float(jnp.mean(totals)),
+        "total_reward_std": float(jnp.std(totals)),
+        "episode_elapsed_time": elapsed,
+        "episode_elapsed_time_per_it": elapsed / (settings.n_steps * n),
+        "mppi_rollouts_per_sec": roll_outs * settings.n_steps * n / elapsed,
+    }

@@ -1,0 +1,185 @@
+"""On-device control episodes: env + delay buffer + MPPI in one jitted scan.
+
+The reference episode loop (mppi_with_model.py:244-317) round-trips through
+numpy every step: env.get_obs() -> planner on device -> action to cpu ->
+torchdiffeq env step -> set_state_. Here the entire episode — 200 env steps,
+each containing a full MPPI plan (K rollouts x T horizon model calls) and the
+one-Euler-step env transition — is a single compiled ``lax.scan``, so an
+episode is one device launch and the host only sees the final results.
+
+The same scan serves evaluation (training.eval) and expert data collection
+(data.collector): collection adds exploration noise to the planned action
+(mppi_dataset_collector.py:250-254) and the per-step transition records are
+always emitted (cheap relative to the planning compute).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..envs import Env, sample_dt
+from ..envs.oracle import ORACLES
+from ..planners import MPPIConfig, MPPIParams, mppi_command, mppi_reset
+
+
+class EpisodeRecords(NamedTuple):
+    """Per-step transition tuples (mppi_dataset_collector.py:245-268)."""
+
+    s0: jnp.ndarray  # [n_steps, n_obs] observation before the step
+    a0: jnp.ndarray  # [n_steps, A, m] action buffer after the step
+    sn: jnp.ndarray  # [n_steps, n_obs] observation after the step
+    ts: jnp.ndarray  # [n_steps] realized step duration
+    reward: jnp.ndarray  # [n_steps]
+
+
+@dataclass(frozen=True)
+class EpisodeSettings:
+    delay: int
+    n_steps: int = 200
+    action_buffer_size: int = 4
+    observation_noise: float = 0.0
+    explore_noise: Optional[float] = None  # expert-collection action noise
+    random_policy: bool = False
+    encode_obs_time: bool = False
+
+
+def build_learned_dynamics(env: Env, model_apply: Callable, params, roll_outs: int,
+                           dt: float, action_buffer_size: int = 4,
+                           encode_obs_time: bool = False) -> Callable:
+    """Wrap a learned model as the planner dynamics closure
+    (mppi_with_model.py:103-122): next = state + model(state, window, dt).
+
+    Batch size is taken from the incoming state so the same closure works
+    single-chip (batch K) and inside a K-sharded shard_map (batch K/n);
+    ``roll_outs`` is kept for signature parity only.
+    """
+    del roll_outs
+
+    def dynamics(state, window):
+        if encode_obs_time:
+            ages = jnp.flip(jnp.arange(action_buffer_size, dtype=state.dtype))
+            ages = jnp.broadcast_to(
+                ages[None, :, None], (window.shape[0], action_buffer_size, 1)
+            )
+            window = jnp.concatenate([window, ages], axis=2)
+        ts_pred = jnp.full((state.shape[0], 1), dt, dtype=state.dtype)
+        return state + model_apply(params, state, window, ts_pred)
+
+    return dynamics
+
+
+def build_oracle_dynamics(env: Env, roll_outs: int, dt: float, delay: int) -> Callable:
+    """Closed-form oracle dynamics closure (mppi_with_model.py:129-143)."""
+    del roll_outs  # batch inferred from state (see build_learned_dynamics)
+    oracle = ORACLES[env.spec.name]
+
+    def dynamics(state, window):
+        ts = jnp.full((state.shape[0], 1), dt, dtype=state.dtype)
+        return oracle(state, window, ts, delay, friction=env.spec.friction)
+
+    return dynamics
+
+
+def build_running_cost(env: Env) -> Callable:
+    """cost = -(diff_obs_reward_ + diff_ac_reward_) (mppi_with_model.py:145-171)."""
+
+    def running_cost(state, action):
+        return -(env.reward_state(state) + env.reward_action(action))
+
+    return running_cost
+
+
+def initial_state(env: Env, key: jax.Array) -> jnp.ndarray:
+    """Episode start state; pendulum starts downward-spinning
+    (mppi_with_model.py:188-189 overrides reset with [pi, 1])."""
+    if env.spec.name == "pendulum":
+        return jnp.asarray([jnp.pi, 1.0])
+    return env.reset(key)
+
+
+def make_episode_fn(
+    env: Env,
+    dynamics_fn: Optional[Callable],
+    mppi_cfg: MPPIConfig,
+    mppi_params: MPPIParams,
+    settings: EpisodeSettings,
+):
+    """Build the jittable episode function: key -> (total_reward, records).
+
+    total_reward is the raw episode return (sum of per-step diff rewards,
+    reference mppi_with_model.py:272,288); callers rescale by 200/n_steps.
+    """
+    spec = env.spec
+    running_cost = build_running_cost(env)
+    A, nu = settings.action_buffer_size, spec.m
+    delay = settings.delay
+
+    def episode(key: jax.Array):
+        k_reset, k_u0, k_scan = jax.random.split(key, 3)
+        raw0 = initial_state(env, k_reset)
+        U0 = mppi_reset(k_u0, mppi_cfg, mppi_params)
+        buffer0 = jnp.zeros((A, nu))
+        carry0 = (raw0, buffer0, U0, k_scan)
+
+        def step(carry, _):
+            raw, buffer, U, key = carry
+            key, k_noise, k_rand, k_dt, k_obs, k_explore = jax.random.split(key, 6)
+            obs = env.observe(raw)
+
+            if settings.random_policy:
+                action = jax.random.uniform(
+                    k_rand, (nu,), minval=-spec.action_high, maxval=spec.action_high
+                )
+            else:
+                action, U, _ = mppi_command(
+                    mppi_cfg, mppi_params, dynamics_fn, running_cost,
+                    U, obs, buffer, k_noise,
+                )
+                if settings.explore_noise is not None:
+                    # expert-collection exploration (collector :250-254)
+                    action = action + (
+                        (jax.random.uniform(k_explore, (nu,)) - 0.5)
+                        * 2.0 * spec.action_high * settings.explore_noise
+                    )
+                    action = jnp.clip(action, -spec.action_high, spec.action_high)
+
+            # delay buffer roll; delayed action executes (get_action :25-28)
+            buffer = jnp.roll(buffer, -1, axis=0).at[-1].set(action)
+            executed = buffer[-(delay + 1)]
+
+            # env transition: one Euler step over a sampled interval
+            delta_t = sample_dt(k_dt, spec.ts_grid, spec.dt)
+            raw_next = raw + delta_t * env.rhs(raw, executed)
+            reward = env.reward_state(raw_next) + env.reward_action(executed)
+
+            # observation noise persisted into env state
+            # (mppi_with_model.py:203-204)
+            if settings.observation_noise > 0.0:
+                raw_next = raw_next + (
+                    jax.random.normal(k_obs, raw_next.shape) * settings.observation_noise
+                )
+
+            rec = EpisodeRecords(
+                s0=obs, a0=buffer, sn=env.observe(raw_next),
+                ts=delta_t, reward=reward,
+            )
+            return (raw_next, buffer, U, key), rec
+
+        (_, _, _, _), records = lax.scan(step, carry0, None, length=settings.n_steps)
+        total_reward = jnp.sum(records.reward)
+        return total_reward, records
+
+    return episode
+
+
+def make_batched_episode_fn(env, dynamics_fn, mppi_cfg, mppi_params, settings):
+    """vmap the episode over a batch of PRNG keys — replaces the process
+    pools at run_exp_multi.py:145 / mppi_dataset_collector.py:411."""
+    episode = make_episode_fn(env, dynamics_fn, mppi_cfg, mppi_params, settings)
+    return jax.jit(jax.vmap(episode))

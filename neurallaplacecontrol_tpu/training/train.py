@@ -1,0 +1,228 @@
+"""Training harness: jitted optax steps, epoch-fresh data, wall-clock budget,
+best-loss checkpointing.
+
+Rebuild of reference train_utils.train_model (:159-492):
+- per-epoch fresh dataset (expert replay or synthetic regeneration,
+  :353-370)
+- minibatch loop, loss = MSE(model(s0, a0, ts), sn - s0) (:388-408)
+- Adam + global-norm grad clip 0.1 (:297-301, :406), optional StepLR
+- best-loss checkpointing every iters_per_log (:440-448)
+- wall-clock cutoff (:415-425) — compile time is excluded from the budget so
+  TPU jit warmup doesn't eat training time (SURVEY.md §7 hard part 6)
+
+TPU notes: the update step is one jit with donated (params, opt_state); the
+whole epoch's minibatch loop runs as a ``lax.scan`` over pre-shuffled batch
+indices, so an epoch is a single device launch (no per-batch host round
+trips — the reference pays one python iteration per batch).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..envs import make_env
+from ..models import DynamicsModel, count_params, make_model
+from ..utils.checkpoint import load_pytree, model_checkpoint_name, save_pytree
+from ..utils.timing import Timer
+
+logger = logging.getLogger(__name__)
+
+
+def make_optimizer(config: Config):
+    steps = [optax.clip_by_global_norm(config.clip_grad_norm)]
+    if config.weight_decay:
+        steps.append(optax.add_decayed_weights(config.weight_decay))
+    lr = config.learning_rate
+    if config.use_lr_scheduler:
+        lr = optax.exponential_decay(
+            config.learning_rate,
+            transition_steps=config.lr_scheduler_step_size,
+            decay_rate=config.lr_scheduler_gamma,
+            staircase=True,
+        )
+    steps.append(optax.adam(lr))
+    return optax.chain(*steps)
+
+
+def make_train_segment_fn(model: DynamicsModel, optimizer):
+    """One jitted training segment: scan the update step over a [S, bs] block
+    of batch indices (S = iters_per_log batches per device launch, matching
+    the reference's logging/checkpoint cadence at train_utils.py:410-448)."""
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def segment_fn(params, opt_state, s0, a0, sn, ts, batch_idx):
+        def update(carry, idx):
+            params, opt_state = carry
+
+            def loss_fn(p):
+                pred = model.apply(p, s0[idx], a0[idx], ts[idx])
+                target = sn[idx] - s0[idx]
+                return jnp.mean((jnp.squeeze(pred) - jnp.squeeze(target)) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(update, (params, opt_state), batch_idx)
+        return params, opt_state, losses
+
+    return segment_fn
+
+
+def get_epoch_data(env, env_name, delay, config: Config, key):
+    # local import: data.collector itself builds on training.rollout
+    from ..data import collect_expert_data, generate_irregular_data_delay_time_multi
+
+    if config.train_with_expert_trajectories:
+        return collect_expert_data(env_name, delay, config=config)
+    return generate_irregular_data_delay_time_multi(
+        env,
+        key,
+        delay=delay,
+        samples_per_dim=config.train_samples_per_dim,
+        rand=config.rand_sample,
+        action_buffer_size=config.action_buffer_size,
+        encode_obs_time=config.encode_obs_time,
+        reuse_state_actions_when_sampling_times=config.reuse_state_actions_when_sampling_times,
+    )
+
+
+def train_model(
+    model_name: str,
+    env_name: str,
+    config: Config = Config(),
+    delay: int = 0,
+    retrain: bool = False,
+    force_retrain: bool = False,
+    model_seed: int = 0,
+    start_from_checkpoint: bool = True,
+    end_training_after_seconds: Optional[float] = None,
+) -> Tuple[DynamicsModel, dict, dict]:
+    """Train (or load) a dynamics model. Returns (model, params, results)."""
+    ckpt_name = model_checkpoint_name(
+        model_name,
+        env_name,
+        delay,
+        config.ts_grid,
+        model_seed,
+        config.train_with_expert_trajectories,
+        training_epochs=None if config.end_training_after_seconds else config.training_epochs,
+        samples_used=config.training_use_only_samples,
+    )
+    ckpt_path = os.path.join(config.saved_models_path, ckpt_name)
+
+    env = make_env(env_name, ts_grid=config.ts_grid, dt=config.dt * config.train_dt_multiple)
+    spec = env.spec
+    model = make_model(
+        model_name, env_name, spec.n_obs, spec.m, spec.action_high, config,
+        dtype=jnp.result_type(float),
+    )
+    key = jax.random.PRNGKey(model_seed)
+    params = model.init(key)
+    n_params = count_params(params)
+    logger.info("[%s %s d=%d] params=%d", env_name, model_name, delay, n_params)
+
+    if not force_retrain:
+        if not retrain and os.path.isfile(ckpt_path):
+            return model, load_pytree(ckpt_path, params), {"total_reward": None}
+        if not retrain:
+            raise ValueError(f"No checkpoint at {ckpt_path} and retrain=False")
+        if start_from_checkpoint and os.path.isfile(ckpt_path):
+            params = load_pytree(ckpt_path, params)
+
+    if model_name == "latent_ode":
+        from .train_latent_ode import train_latent_ode
+
+        return train_latent_ode(model, params, env, env_name, config, delay, ckpt_path)
+
+    optimizer = make_optimizer(config)
+    opt_state = optimizer.init(params)
+    batch_size = 1 if model_name == "node" else config.training_batch_size
+    segment_fn = make_train_segment_fn(model, optimizer)
+
+    budget = (
+        end_training_after_seconds
+        if end_training_after_seconds is not None
+        else config.end_training_after_seconds
+    )
+    timer = Timer()
+    best_loss = float("inf")
+    last_loss = float("nan")
+    data_key = jax.random.PRNGKey(model_seed + 10_000)
+    epoch_losses = []
+    compiled = set()
+    stop = False
+
+    for epoch_i in range(config.training_epochs):
+        data_key, k_data, k_perm = jax.random.split(data_key, 3)
+        with timer.exclude():  # dataset build/load is outside the budget
+            s0, a0, sn, ts = get_epoch_data(env, env_name, delay, config, k_data)
+            if config.training_use_only_samples is not None:
+                s0 = s0[: config.training_use_only_samples]
+                a0 = a0[: config.training_use_only_samples]
+                sn = sn[: config.training_use_only_samples]
+                ts = ts[: config.training_use_only_samples]
+        perm = jax.random.permutation(k_perm, s0.shape[0])
+        n_batches = perm.shape[0] // batch_size
+        seg_len = max(1, min(config.iters_per_log, n_batches))
+        n_segments = n_batches // seg_len
+        batches = perm[: n_segments * seg_len * batch_size].reshape(
+            n_segments, seg_len, batch_size
+        )
+
+        seg_losses = []
+        for seg_i in range(n_segments):
+            shape_key = (seg_len, batch_size, s0.shape[0])
+            if shape_key not in compiled:
+                with timer.exclude():  # jit compile excluded from budget
+                    params, opt_state, losses = segment_fn(
+                        params, opt_state, s0, a0, sn, ts, batches[seg_i]
+                    )
+                    jax.block_until_ready(losses)
+                compiled.add(shape_key)
+            else:
+                params, opt_state, losses = segment_fn(
+                    params, opt_state, s0, a0, sn, ts, batches[seg_i]
+                )
+            track_loss = float(jnp.mean(losses))
+            last_loss = float(losses[-1])
+            seg_losses.append(track_loss)
+            elapsed = timer.elapsed()
+            logger.info(
+                "[%s %s d=%d][epoch=%04d|seg=%03d/%03d|t=%.0f/%s] train_loss=%g",
+                env_name, model_name, delay, epoch_i + 1, seg_i + 1, n_segments,
+                elapsed, budget, track_loss,
+            )
+            # best-loss checkpointing per log window (train_utils.py:440-443)
+            if track_loss < best_loss:
+                best_loss = track_loss
+                with timer.exclude():
+                    save_pytree(ckpt_path, params)
+            if budget is not None and elapsed > budget:
+                logger.info("[%s %s d=%d] Ending training (budget)", env_name, model_name, delay)
+                stop = True
+                break
+        epoch_losses.append(sum(seg_losses) / max(len(seg_losses), 1))
+        if stop:
+            break
+
+    save_pytree(ckpt_path, params)
+    results = {
+        "train_loss": last_loss,
+        "best_val_loss": best_loss,
+        "epoch_losses": epoch_losses,
+        "n_params": n_params,
+        "total_reward": None,
+        "train_seconds": timer.elapsed(),
+    }
+    return model, params, results

@@ -1,0 +1,63 @@
+"""Parameter-pytree checkpointing as .npz artifacts.
+
+Replaces torch.save(state_dict) checkpoints (reference train_utils.py:
+440-443, 489-490). Filenames encode the full task identity exactly like the
+reference (:172-181) so trained models are load-or-train cached.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _flatten(params) -> dict:
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = {}
+    for path, leaf in flat:
+        key = "/".join(str(p.key) if hasattr(p, "key") else str(p.idx) for p in path)
+        out[key] = np.asarray(leaf)
+    return out
+
+
+def save_pytree(path, params) -> None:
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **_flatten(params))
+
+
+def load_pytree(path, like):
+    """Load into the structure of ``like`` (keys must match)."""
+    with np.load(path) as z:
+        flat = dict(z)
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(like)
+    new_leaves = []
+    for p, leaf in leaves_with_path:
+        key = "/".join(str(q.key) if hasattr(q, "key") else str(q.idx) for q in p)
+        arr = flat[key]
+        new_leaves.append(jnp.asarray(arr, dtype=leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def model_checkpoint_name(
+    model_name: str,
+    env_name: str,
+    delay: int,
+    ts_grid: str,
+    model_seed: int,
+    train_with_expert: bool,
+    training_epochs=None,
+    samples_used=None,
+) -> str:
+    """Mirrors reference train_utils.py:172-180."""
+    name = (
+        f"{model_name}_{env_name}_delay-{delay}_ts-grid-{ts_grid}_{model_seed}"
+        f"_train-with-expert-trajectories-{train_with_expert}"
+    )
+    if training_epochs is not None:
+        name += f"_training_for_epochs-{training_epochs}"
+    if samples_used is not None:
+        name += f"_samples_used-{samples_used}"
+    return name + ".npz"

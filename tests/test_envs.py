@@ -16,7 +16,7 @@ ENVS = ["oderl-pendulum", "oderl-cartpole", "oderl-acrobot"]
 def _rand_raw(env, key, batch=16):
     return (
         jax.random.uniform(key, (batch, env.spec.n_state), minval=-0.5, maxval=0.5)
-        * env.state_max
+        * jnp.asarray(env.state_max)
         * 2.0
     )
 

@@ -1,0 +1,127 @@
+"""MPPI-delay planner unit tests + end-to-end control episodes.
+
+Regression targets from BASELINE.md: oracle/random episode returns per env
+and delay (reference process_results/plot_util.py:1-26); the e2e tests use
+reduced K for CPU speed and assert generous brackets around those numbers.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neurallaplacecontrol_tpu.config import Config
+from neurallaplacecontrol_tpu.envs import make_env
+from neurallaplacecontrol_tpu.planners import (
+    MPPIConfig,
+    default_noise_sigma,
+    make_mppi_params,
+    mppi_command,
+    mppi_reset,
+)
+from neurallaplacecontrol_tpu.training import (
+    build_oracle_dynamics,
+    build_running_cost,
+    evaluate_policy,
+)
+
+
+def _pendulum_planner(K=64, T=10, delay=0):
+    env = make_env("oderl-pendulum")
+    cfg = MPPIConfig(num_samples=K, horizon=T, nu=1, u_scale=2.0, u_min=-2.0, u_max=2.0)
+    params = make_mppi_params(default_noise_sigma(1, 1.0, dtype=jnp.float64))
+    dyn = build_oracle_dynamics(env, K, 0.05, delay)
+    cost = build_running_cost(env)
+    return env, cfg, params, dyn, cost
+
+
+def test_command_shapes_and_determinism(key):
+    env, cfg, params, dyn, cost = _pendulum_planner()
+    U = mppi_reset(key, cfg, params)
+    obs = env.observe(jnp.asarray([jnp.pi, 1.0]))
+    buf = jnp.zeros((4, 1))
+    a1, U1, aux = mppi_command(cfg, params, dyn, cost, U, obs, buf, key)
+    a2, U2, _ = mppi_command(cfg, params, dyn, cost, U, obs, buf, key)
+    assert a1.shape == (1,)
+    assert U1.shape == U.shape
+    assert aux["cost_total"].shape == (cfg.num_samples,)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))  # same key
+    a3, _, _ = mppi_command(cfg, params, dyn, cost, U, obs, buf, jax.random.fold_in(key, 1))
+    assert not np.array_equal(np.asarray(a1), np.asarray(a3))  # fresh noise
+
+
+def test_action_bounded(key):
+    """U_new = sum_k omega_k * perturbed_k (convex, since sum omega = 1 and
+    noise = perturbed - U), and perturbed is clamped — so the emitted action
+    obeys [u_min, u_max] even from an absurd carry."""
+    env, cfg, params, dyn, cost = _pendulum_planner()
+    U = 10.0 * jnp.ones((cfg.horizon, 1), dtype=jnp.float64)  # absurd carry
+    obs = env.observe(jnp.asarray([jnp.pi, 0.0]))
+    buf = jnp.zeros((4, 1))
+    action, U_new, _ = mppi_command(cfg, params, dyn, cost, U, obs, buf, key)
+    assert np.all(np.abs(np.asarray(U_new) * cfg.u_scale) <= cfg.u_max + 1e-9)
+    assert abs(float(action[0])) <= cfg.u_max + 1e-9
+
+
+def test_receding_horizon_shift(key):
+    env, cfg, params, dyn, cost = _pendulum_planner(K=8, T=5)
+    U = 0.1 * jnp.arange(5.0, dtype=jnp.float64)[:, None]  # inside [u_min, u_max]
+    obs = env.observe(jnp.asarray([jnp.pi, 0.0]))
+    buf = jnp.zeros((4, 1))
+    # zero noise => perturbed == rolled U, omega uniform, U unchanged by update
+    zero_sigma = make_mppi_params(jnp.asarray([[1e-12]], dtype=jnp.float64))
+    _, U_new, _ = mppi_command(cfg, zero_sigma, dyn, cost, U, obs, buf, key)
+    np.testing.assert_allclose(
+        np.asarray(U_new[:-1, 0]), np.asarray(U[1:, 0]), atol=1e-4
+    )
+    assert abs(float(U_new[-1, 0])) < 1e-4  # u_init = 0
+
+
+def test_rollout_windows_prepend_history(key):
+    """The dynamics at rollout step t must see the sliding window
+    [buffer[1+t:], planned actions...] (reference mppi_delay.py:256-277).
+    Verified functionally: a linear dynamics that accumulates the window's
+    OLDEST entry yields an analytically predictable cost."""
+    cfg = MPPIConfig(num_samples=2, horizon=3, nu=1, u_scale=1.0, u_min=-9.0, u_max=9.0)
+    params = make_mppi_params(jnp.asarray([[1e-18]], dtype=jnp.float64))  # ~zero noise
+
+    def dynamics(state, window):
+        return state + window[:, 0, :]  # oldest action in the window
+
+    def cost_fn(state, action):
+        return state[:, 0]
+
+    U = jnp.zeros((3, 1), dtype=jnp.float64)
+    obs = jnp.zeros((1,), dtype=jnp.float64)
+    buf = jnp.asarray([[1.0], [2.0], [3.0], [4.0]], dtype=jnp.float64)
+    _, _, aux = mppi_command(cfg, params, dynamics, cost_fn, U, obs, buf, key)
+    # windows' oldest entries over t=0,1,2 are buf[1], buf[2], buf[3]
+    # states: 2, 2+3=5, 5+4=9 -> total cost 16 per sample
+    np.testing.assert_allclose(np.asarray(aux["cost_total"]), 16.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("delay", [0, 2])
+def test_oracle_pendulum_swingup(delay):
+    """Oracle-MPPI controls the delayed pendulum: return lands in the
+    reference bracket (oracle -121, random -617; plot_util.py:2-11)."""
+    res = evaluate_policy(
+        "oracle", "oderl-pendulum", delay, seeds=[0],
+        config=Config(), roll_outs=150, time_steps=30,
+    )
+    assert -300.0 < res["total_reward"] < -50.0, res["total_reward"]
+
+
+def test_random_policy_baseline():
+    res = evaluate_policy("random", "oderl-pendulum", 0, seeds=[0, 1], config=Config())
+    # reference random mean: -616.77 (plot_util.py:2-6)
+    assert -1000.0 < res["total_reward"] < -300.0
+    assert len(res["total_rewards"]) == 2
+
+
+def test_oracle_beats_random_cartpole():
+    cfg = Config()
+    oracle = evaluate_policy(
+        "oracle", "oderl-cartpole", 1, seeds=[0], config=cfg, roll_outs=200, time_steps=30
+    )
+    random = evaluate_policy("random", "oderl-cartpole", 1, seeds=[0], config=cfg)
+    assert oracle["total_reward"] > random["total_reward"] + 1000.0
