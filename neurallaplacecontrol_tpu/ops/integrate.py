@@ -138,12 +138,20 @@ def odeint_dopri5(
             done = t >= t1 - 1e-12
             h_eff = jnp.minimum(h, t1 - t)
             y_new, err = _dp_step(rhs, y, t, h_eff, *args)
-            scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
-            err_ratio = jnp.sqrt(jnp.mean((err / scale) ** 2))
+            # Step-size control is NOT differentiated (discretise-then-
+            # optimise with frozen accept/step decisions): naive autodiff
+            # through the error norm hits sqrt(0) -> 0*inf = NaN on the
+            # masked no-op iterations after an interval finishes.
+            err_sg = jax.lax.stop_gradient(err)
+            y_sg = jax.lax.stop_gradient(y)
+            ynew_sg = jax.lax.stop_gradient(y_new)
+            scale = atol + rtol * jnp.maximum(jnp.abs(y_sg), jnp.abs(ynew_sg))
+            err_ratio = jnp.sqrt(jnp.mean((err_sg / scale) ** 2) + 1e-30)
             err_ratio = jnp.maximum(err_ratio, 1e-10)
             accept = jnp.logical_and(err_ratio <= 1.0, jnp.logical_not(done))
             factor = jnp.clip(0.9 * err_ratio ** (-1.0 / 5.0), 0.2, 5.0)
             h_next = jnp.where(done, h, jnp.clip(h_eff * factor, span * 1e-4, span))
+            h_next = jax.lax.stop_gradient(h_next)
             t = jnp.where(accept, t + h_eff, t)
             y = jnp.where(accept, y_new, y)
             return (t, y, h_next), None

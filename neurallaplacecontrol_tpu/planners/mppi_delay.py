@@ -98,8 +98,16 @@ def mppi_command(
     action_buffer: jnp.ndarray,  # [A, nu] action history (env units)
     key: jax.Array,
     terminal_state_cost: Optional[Callable] = None,
+    dynamics_carry_init: Optional[Callable] = None,
 ):
-    """One planning step. Returns (action [nu] in env units, new U, aux)."""
+    """One planning step. Returns (action [nu] in env units, new U, aux).
+
+    If ``dynamics_carry_init`` is given, the dynamics closure is stateful
+    within the rollout: ``carry0 = dynamics_carry_init(state0)`` and
+    ``dynamics_fn(carry, state, window) -> (carry, next_state)`` — used by
+    history-conditioned models like the latent-ODE
+    (models.latent_ode.make_carried_dynamics).
+    """
     K, T, nu = cfg.num_samples, cfg.horizon, cfg.nu
     A = action_buffer.shape[0]
 
@@ -131,13 +139,26 @@ def mppi_command(
     # 4. rollout (:271-296) as one scan over the horizon
     state0 = jnp.broadcast_to(obs[None], (K,) + obs.shape)
 
-    def rollout_step(state, window):
-        state = dynamics_fn(state, window)
-        u = window[:, -1, :]  # current executed action (:288)
-        c = running_cost_fn(state, u)
-        return state, (c, state)
+    if dynamics_carry_init is None:
 
-    _, (costs, states) = lax.scan(rollout_step, state0, windows)
+        def rollout_step(state, window):
+            state = dynamics_fn(state, window)
+            u = window[:, -1, :]  # current executed action (:288)
+            c = running_cost_fn(state, u)
+            return state, (c, state)
+
+        _, (costs, states) = lax.scan(rollout_step, state0, windows)
+    else:
+
+        def rollout_step_carried(carry, window):
+            dyn_carry, state = carry
+            dyn_carry, state = dynamics_fn(dyn_carry, state, window)
+            c = running_cost_fn(state, window[:, -1, :])
+            return (dyn_carry, state), (c, state)
+
+        _, (costs, states) = lax.scan(
+            rollout_step_carried, (dynamics_carry_init(state0), state0), windows
+        )
     cost_total = jnp.sum(costs, axis=0)  # [K]
 
     if terminal_state_cost is not None:

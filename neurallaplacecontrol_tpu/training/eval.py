@@ -64,10 +64,18 @@ def evaluate_policy(
     dtype = jnp.result_type(float)  # f64 under jax_enable_x64, else f32
     mppi_params = make_mppi_params(default_noise_sigma(spec.m, config.mppi_sigma, dtype=dtype))
 
+    dynamics_carry_init = None
     if model_name == "oracle":
         dynamics = build_oracle_dynamics(env, roll_outs, dt, action_delay)
     elif model_name == "random":
         dynamics = None
+    elif model_name == "latent_ode" and hasattr(model_apply, "predict_diff"):
+        # pass the DynamicsModel itself for history-carried planning
+        from ..models.latent_ode import make_carried_dynamics
+
+        dynamics_carry_init, dynamics = make_carried_dynamics(
+            model_apply, params, dt, spec.n_obs, spec.m
+        )
     else:
         assert model_apply is not None and params is not None, (
             "learned models need model_apply/params (train first; "
@@ -87,7 +95,10 @@ def evaluate_policy(
         random_policy=model_name == "random",
     )
 
-    episode_batch = make_batched_episode_fn(env, dynamics, mppi_cfg, mppi_params, settings)
+    episode_batch = make_batched_episode_fn(
+        env, dynamics, mppi_cfg, mppi_params, settings,
+        dynamics_carry_init=dynamics_carry_init,
+    )
     keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
 
     t0 = time.perf_counter()

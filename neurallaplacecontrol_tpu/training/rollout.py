@@ -109,6 +109,7 @@ def make_episode_fn(
     mppi_cfg: MPPIConfig,
     mppi_params: MPPIParams,
     settings: EpisodeSettings,
+    dynamics_carry_init: Optional[Callable] = None,
 ):
     """Build the jittable episode function: key -> (total_reward, records).
 
@@ -140,6 +141,7 @@ def make_episode_fn(
                 action, U, _ = mppi_command(
                     mppi_cfg, mppi_params, dynamics_fn, running_cost,
                     U, obs, buffer, k_noise,
+                    dynamics_carry_init=dynamics_carry_init,
                 )
                 if settings.explore_noise is not None:
                     # expert-collection exploration (collector :250-254)
@@ -178,8 +180,10 @@ def make_episode_fn(
     return episode
 
 
-def make_batched_episode_fn(env, dynamics_fn, mppi_cfg, mppi_params, settings):
+def make_batched_episode_fn(env, dynamics_fn, mppi_cfg, mppi_params, settings,
+                            dynamics_carry_init=None):
     """vmap the episode over a batch of PRNG keys — replaces the process
     pools at run_exp_multi.py:145 / mppi_dataset_collector.py:411."""
-    episode = make_episode_fn(env, dynamics_fn, mppi_cfg, mppi_params, settings)
+    episode = make_episode_fn(env, dynamics_fn, mppi_cfg, mppi_params, settings,
+                              dynamics_carry_init=dynamics_carry_init)
     return jax.jit(jax.vmap(episode))
