@@ -95,6 +95,12 @@ def make_nl_model(
         else:
             obs_n = obs
             act_n = action_buffer / 3.0  # w_nl.py:129
+        # f32/TPU stability: exp-sampled horizons can be arbitrarily small
+        # and the fourier contour's e^{sigma t}/T prefactor grows like 1/t.
+        # Floor the (normalized) query time; affected samples (~2% of an
+        # exp(dt) grid) have near-zero targets anyway. The reference relies
+        # on float64 here instead.
+        ts = jnp.maximum(ts, 2.5e-3 if normalize_time else 2.5e-3 * dt * 8.0)
         if act_n.ndim == 2:
             act_n = act_n[:, None, :]
         # reverse GRU encoder (w_nl.py:25-29): flip time, 2-layer GRU, linear

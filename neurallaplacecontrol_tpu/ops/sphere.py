@@ -27,16 +27,27 @@ def complex_to_spherical(s: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     s_imag = jnp.imag(s)
     theta = jnp.arctan2(s_imag, s_real)
     mag2 = s_real * s_real + s_imag * s_imag
-    phi = jnp.arcsin((mag2 - 1.0) / (mag2 + 1.0))
+    # TPU's fast f32 division can round (mag2-1)/(mag2+1) to just above 1
+    # for large |s|, and arcsin(>1) = NaN — clamp into the principal domain
+    ratio = jnp.clip((mag2 - 1.0) / (mag2 + 1.0), -1.0, 1.0)
+    phi = jnp.arcsin(ratio)
     return theta, phi
+
+
+_PHI_MARGIN = 1e-4
 
 
 def spherical_to_complex(theta: jnp.ndarray, phi: jnp.ndarray) -> jnp.ndarray:
     """Map (theta, phi) Riemann-sphere angles -> complex array.
 
     ``phi`` must lie strictly inside (-pi/2, pi/2); phi -> pi/2 is the point
-    at infinity. The representation nets guarantee this by construction via
-    bounded tanh outputs (see models.nl.LaplaceRepresentationFunc).
+    at infinity. The representation nets bound phi via tanh, but in float32
+    tanh saturates to exactly 1.0 around |x|~9, which would put phi exactly
+    at pi/2 and emit inf (the reference never hits this because it trains in
+    float64, train_utils.py:267). phi is therefore clipped a hair inside the
+    pole, bounding |s| <= ~2e4 — a TPU-f32 robustness requirement.
     """
+    half_pi = jnp.pi / 2.0
+    phi = jnp.clip(phi, -half_pi + _PHI_MARGIN, half_pi - _PHI_MARGIN)
     r = jnp.cos(phi) / (1.0 - jnp.sin(phi))
     return jnp.asarray(r * jnp.cos(theta) + 1j * r * jnp.sin(theta))

@@ -1,0 +1,109 @@
+"""Results processing: normalized-return tables.
+
+Rebuild of reference process_results/process_logs.py — but reading JSONL
+records written by the driver instead of re-parsing log prose with
+ast.literal_eval (process_logs.py:145-157).
+
+Headline score (process_logs.py:183-190):
+    normalized = 100 * (R - R_random) / (R_oracle - R_random), clipped >= 0
+aggregated as mean +/- std over seeds.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Iterable, Optional
+
+import numpy as np
+
+# reference normalization constants for delays 0/1 (plot_util.py:1-26);
+# used as fallback when a run lacks its own oracle/random baselines
+REFERENCE_BASELINES = {
+    0: {
+        "oderl-acrobot": (-2948.64, -571.11),  # (random, oracle)
+        "oderl-cartpole": (-14246.30, -139.69),
+        "oderl-pendulum": (-616.77, -121.05),
+    },
+    1: {
+        "oderl-acrobot": (-2910.50, -558.76),
+        "oderl-cartpole": (-9713.19, -146.26),
+        "oderl-pendulum": (-575.98, -123.44),
+    },
+}
+
+
+def expand_records(records: Iterable[dict]) -> list:
+    """evaluate_policy returns one record per task with per-seed rewards;
+    expand to one row per (task, seed)."""
+    rows = []
+    for r in records:
+        seeds = r.get("seeds", [None])
+        rewards = r.get("total_rewards", [r.get("total_reward")])
+        for s, tr in zip(seeds, rewards):
+            rows.append(
+                {
+                    "env_name": r["env_name"],
+                    "model_name": r["model_name"],
+                    "delay": r["delay"],
+                    "seed": s,
+                    "total_reward": tr,
+                }
+            )
+    return rows
+
+
+def normalized_scores(records: Iterable[dict], clip: bool = True) -> dict:
+    """{(delay, env, model): (mean, std, n)} of normalized returns."""
+    rows = expand_records(records)
+    by_task = defaultdict(list)
+    for r in rows:
+        by_task[(r["delay"], r["env_name"], r["model_name"])].append(r["total_reward"])
+
+    def baseline(delay, env):
+        rand = by_task.get((delay, env, "random"))
+        orac = by_task.get((delay, env, "oracle"))
+        if rand and orac:
+            return float(np.mean(rand)), float(np.mean(orac))
+        ref = REFERENCE_BASELINES.get(delay, {}).get(env)
+        if ref is None:
+            raise ValueError(f"No random/oracle baseline for delay={delay} env={env}")
+        return ref
+
+    out = {}
+    for (delay, env, model), vals in by_task.items():
+        r_rand, r_orac = baseline(delay, env)
+        denom = r_orac - r_rand
+        scores = [100.0 * (v - r_rand) / denom for v in vals]
+        if clip:
+            scores = [max(0.0, s) for s in scores]
+        out[(delay, env, model)] = (
+            float(np.mean(scores)),
+            float(np.std(scores)),
+            len(scores),
+        )
+    return out
+
+
+def latex_table(records: Iterable[dict], models: Optional[list] = None,
+                envs: Optional[list] = None, delays: Optional[list] = None) -> str:
+    """Emit the paper-style LaTeX table (process_logs.py:196-233):
+    rows = models, column groups = delays x envs, cells mean +/- std."""
+    scores = normalized_scores(records)
+    delays = delays or sorted({k[0] for k in scores})
+    envs = envs or sorted({k[1] for k in scores})
+    models = models or sorted({k[2] for k in scores})
+
+    header = "Model & " + " & ".join(
+        f"{env.replace('oderl-', '')} (d={d})" for d in delays for env in envs
+    )
+    lines = ["\\begin{tabular}{l" + "c" * (len(delays) * len(envs)) + "}",
+             "\\toprule", header + " \\\\", "\\midrule"]
+    for m in models:
+        cells = []
+        for d in delays:
+            for env in envs:
+                v = scores.get((d, env, m))
+                cells.append("--" if v is None else f"${v[0]:.1f} \\pm {v[1]:.1f}$")
+        lines.append(f"{m} & " + " & ".join(cells) + " \\\\")
+    lines += ["\\bottomrule", "\\end{tabular}"]
+    return "\n".join(lines)

@@ -38,7 +38,9 @@ logger = logging.getLogger(__name__)
 
 
 def make_optimizer(config: Config):
-    steps = [optax.clip_by_global_norm(config.clip_grad_norm)]
+    # zero_nans first: a rare f32 overflow step (huge ILT prefactor x
+    # saturated sphere output) must not poison the adam moments
+    steps = [optax.zero_nans(), optax.clip_by_global_norm(config.clip_grad_norm)]
     if config.weight_decay:
         steps.append(optax.add_decayed_weights(config.weight_decay))
     lr = config.learning_rate

@@ -1,0 +1,138 @@
+"""Full experiment grid driver: {envs} x {delays} x {models} x {seeds}.
+
+Rebuild of reference run_exp_multi.py. The reference fans 1440 evaluation
+tasks over a 12-worker CPU process pool (:144-165) and a separate training
+pool (:103-132); here each (env, delay, model) task trains on-device and
+evaluates ALL seeds in one vmapped episode batch, so the whole grid is a
+simple sequential loop over compiled launches on a single chip (shard the
+seed batch over a mesh for multi-chip, parallel.sharding).
+
+Per-task exception quarantine mirrors :46-56/:82-92 — a failed cell logs
+the traceback and records {"errored": True} instead of killing the run.
+
+Usage:
+    python run_exp_multi.py [--envs ...] [--delays 0,1,2,3]
+                            [--models nl,oracle,random,...] [--retrain true]
+Results land in logs/results.jsonl; summarize with
+    python -m neurallaplacecontrol_tpu.results.summarize logs/results.jsonl
+"""
+
+import argparse
+import sys
+import time
+import traceback
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from neurallaplacecontrol_tpu.config import Config, parse_args  # noqa: E402
+from neurallaplacecontrol_tpu.training import evaluate_policy, train_model  # noqa: E402
+from neurallaplacecontrol_tpu.utils.logging import JsonlWriter, setup_logger  # noqa: E402
+
+ENVIRONMENTS = ["oderl-pendulum", "oderl-cartpole", "oderl-acrobot"]
+DELAYS = [0, 1, 2, 3]
+MODELS = ["nl", "oracle", "random", "delta_t_rnn", "node", "latent_ode"]
+TRAIN_SECONDS_PER_MODEL = 1350 * 6  # reference run_exp_multi.py:214
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(add_help=False)
+    parser.add_argument("--envs", type=str, default=",".join(ENVIRONMENTS))
+    parser.add_argument("--delays", type=str, default=",".join(map(str, DELAYS)))
+    parser.add_argument("--models", type=str, default=",".join(MODELS))
+    parser.add_argument("--results", type=str, default="logs/results.jsonl")
+    parser.add_argument(
+        "--train_seconds", type=float, default=TRAIN_SECONDS_PER_MODEL
+    )
+    ns, rest = parser.parse_known_args(argv)
+    config = parse_args(rest)
+
+    logger = setup_logger(__file__, log_folder=config.log_folder)
+    results = JsonlWriter(ns.results)
+    envs = ns.envs.split(",")
+    delays = [int(d) for d in ns.delays.split(",")]
+    models = ns.models.split(",")
+    seeds = list(range(config.seed_start, config.seed_start + config.seed_runs))
+
+    trained = {}
+    if config.retrain or config.force_retrain:
+        for env_name in envs:
+            for delay in delays:
+                for model_name in models:
+                    if model_name in ("oracle", "random"):
+                        continue
+                    try:
+                        t0 = time.time()
+                        model, params, res = train_model(
+                            model_name, env_name, config, delay=delay,
+                            retrain=True, force_retrain=config.force_retrain,
+                            model_seed=config.model_seed,
+                            start_from_checkpoint=config.start_from_checkpoint,
+                            end_training_after_seconds=ns.train_seconds,
+                        )
+                        trained[(env_name, delay, model_name)] = (model, params)
+                        logger.info(
+                            "[trained %s %s d=%d] loss=%g (%.0fs)",
+                            env_name, model_name, delay,
+                            res["best_val_loss"], time.time() - t0,
+                        )
+                    except Exception:  # noqa: BLE001 — quarantine (:46-56)
+                        logger.error(
+                            "[train FAILED %s %s d=%d]\n%s",
+                            env_name, model_name, delay, traceback.format_exc(),
+                        )
+
+    for env_name in envs:
+        for delay in delays:
+            for model_name in models:
+                try:
+                    extra = {}
+                    if model_name not in ("oracle", "random"):
+                        if (env_name, delay, model_name) in trained:
+                            model, params = trained[(env_name, delay, model_name)]
+                        else:
+                            model, params, _ = train_model(
+                                model_name, env_name, config, delay=delay, retrain=False
+                            )
+                        extra = dict(
+                            model_apply=model if model_name == "latent_ode" else model.apply,
+                            params=params,
+                        )
+                    r = evaluate_policy(
+                        model_name, env_name, delay, seeds=seeds, config=config, **extra
+                    )
+                    r["errored"] = False
+                    results.write(r)
+                    logger.info(
+                        "[Model Completed evaluation mppi] %s", {
+                            k: r[k] for k in (
+                                "model_name", "env_name", "delay",
+                                "total_reward", "total_reward_std",
+                            )
+                        },
+                    )
+                except Exception:  # noqa: BLE001
+                    logger.error(
+                        "[eval FAILED %s %s d=%d]\n%s",
+                        env_name, model_name, delay, traceback.format_exc(),
+                    )
+                    results.write(
+                        {
+                            "model_name": model_name,
+                            "env_name": env_name,
+                            "delay": delay,
+                            "errored": True,
+                        }
+                    )
+
+    # summary table
+    from neurallaplacecontrol_tpu.results.process import latex_table
+
+    recs = [r for r in results.read_all() if not r.get("errored")]
+    if recs:
+        logger.info("Normalized-return table:\n%s", latex_table(recs))
+    logger.info("Fin.")
+
+
+if __name__ == "__main__":
+    main()
