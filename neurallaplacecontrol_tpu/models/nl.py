@@ -117,4 +117,61 @@ def make_nl_model(
             terms=s_recon_terms,
         )
 
-    return DynamicsModel(name="nl", init=init, apply=apply)
+    model = DynamicsModel(name="nl", init=init, apply=apply)
+
+    def make_fused_planner_apply(params, t: float):
+        """Planner-specialized forward with the fused Pallas head
+        (ops.pallas_ilt): valid when every query shares one horizon ``t``
+        (the planner's ts_pred is a constant dt vector,
+        mppi_with_model.py:74). The sphere query angles for the fixed
+        contour are folded into constants and the final linear layer + ILT
+        combine run as one VMEM-resident kernel.
+
+        Measured on v5e the fused head is at parity with XLA's own fusion
+        for these dims (the head is tiny; XLA already reaches the roofline)
+        — kept as the template for scaled-up Laplace heads.
+        """
+        from ..ops.ilt import ilt_query_points
+        from ..ops.pallas_ilt import nl_head_fused, pack_head_weights
+        from ..ops.sphere import complex_to_spherical
+
+        t_model = t / (dt * 8.0) if (normalize and normalize_time) else t
+        t_model = max(t_model, 2.5e-3)
+        s = ilt_query_points(jnp.asarray([t_model], jnp.float32), s_recon_terms)
+        theta_s, phi_s = complex_to_spherical(s)
+        theta_s, phi_s = theta_s[0], phi_s[0]
+        mlp = params["laplace_rep"]
+        packed = pack_head_weights(
+            mlp[-1]["w"], mlp[-1]["b"], state_dim, s_recon_terms, t_model
+        )
+
+        def apply_fused(p, obs, action_buffer, ts):
+            del ts  # fixed at specialization time
+            if normalize:
+                obs_n = (obs - state_mean) / state_std
+                act_n = (action_buffer - action_mean) / action_std
+            else:
+                obs_n = obs
+                act_n = action_buffer / 3.0
+            rev = jnp.flip(act_n, axis=1)
+            h = gru_apply(p["encoder"]["gru"], rev)
+            p_action = linear_apply(p["encoder"]["out"], h)
+            lat = jnp.concatenate([obs_n, p_action], axis=-1)
+            B = lat.shape[0]
+            x = jnp.concatenate(
+                [
+                    jnp.broadcast_to(theta_s[None], (B, s_recon_terms)),
+                    jnp.broadcast_to(phi_s[None], (B, s_recon_terms)),
+                    lat,
+                ],
+                axis=-1,
+            )
+            hidden = x
+            for layer in p["laplace_rep"][:-1]:
+                hidden = jnp.tanh(linear_apply(layer, hidden))
+            return nl_head_fused(hidden, packed, state_dim)
+
+        return apply_fused
+
+    object.__setattr__(model, "make_fused_planner_apply", make_fused_planner_apply)
+    return model
