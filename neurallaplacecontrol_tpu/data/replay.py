@@ -30,7 +30,13 @@ def replay_buffer_filename(
     )
 
 
+def _rbuf_path(path) -> str:
+    return str(path).replace(".npz", "") + ".rbuf"
+
+
 def save_replay_buffer(path, s0, a0, sn, ts) -> None:
+    """Write the portable .npz plus, when the native runtime is available,
+    the mmap-able .rbuf sibling (runtime/replaybuf.cc) that loads O(1)."""
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(
         path,
@@ -39,9 +45,23 @@ def save_replay_buffer(path, s0, a0, sn, ts) -> None:
         sn=np.asarray(sn),
         ts=np.asarray(ts),
     )
+    from .. import runtime
+
+    runtime.write_buffer(_rbuf_path(path), s0, a0, sn, ts)
 
 
 def load_replay_buffer(path):
+    """Prefer the zero-copy native mapping; fall back to .npz."""
+    from .. import runtime
+
+    rb_path = _rbuf_path(path)
+    if Path(rb_path).exists() and runtime.get_lib() is not None:
+        with np.load(path) as z:  # shapes come from the portable sibling
+            shapes = {k: z[k].shape[1:] for k in ("s0", "a0", "sn", "ts")}
+        rb = runtime.open_buffer(rb_path, shapes)
+        out = tuple(jnp.asarray(rb.arrays[k]) for k in ("s0", "a0", "sn", "ts"))
+        rb.close()
+        return out
     with np.load(path) as z:
         return (
             jnp.asarray(z["s0"]),
