@@ -86,6 +86,8 @@ def collect_expert_data(
         u_scale=spec.action_high,
         u_min=-spec.action_high,
         u_max=spec.action_high,
+        encode_obs_time=config.encode_obs_time,
+        dt=config.dt,
     )
     dtype = jnp.result_type(float)
     mppi_params = make_mppi_params(default_noise_sigma(spec.m, config.mppi_sigma, dtype=dtype))
@@ -96,6 +98,7 @@ def collect_expert_data(
         action_buffer_size=config.action_buffer_size,
         observation_noise=config.observation_noise,
         explore_noise=config.collect_expert_random_action_noise,
+        encode_obs_time=config.encode_obs_time,
     )
     episode_batch = make_batched_episode_fn(env, dynamics, mppi_cfg, mppi_params, settings)
 

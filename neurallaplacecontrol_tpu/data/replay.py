@@ -58,10 +58,12 @@ def load_replay_buffer(path):
     if Path(rb_path).exists() and runtime.get_lib() is not None:
         with np.load(path) as z:  # shapes come from the portable sibling
             shapes = {k: z[k].shape[1:] for k in ("s0", "a0", "sn", "ts")}
-        rb = runtime.open_buffer(rb_path, shapes)
-        out = tuple(jnp.asarray(rb.arrays[k]) for k in ("s0", "a0", "sn", "ts"))
-        rb.close()
-        return out
+            f32 = all(z[k].dtype == np.float32 for k in ("s0", "a0", "sn", "ts"))
+        if f32:  # the native store is float32; fall through for f64 data
+            rb = runtime.open_buffer(rb_path, shapes)
+            out = tuple(jnp.asarray(rb.arrays[k]) for k in ("s0", "a0", "sn", "ts"))
+            rb.close()
+            return out
     with np.load(path) as z:
         return (
             jnp.asarray(z["s0"]),

@@ -46,6 +46,11 @@ class MPPIConfig:
     u_max: float = 1.0  # env units (ACTION_HIGH)
     sample_null_action: bool = False
     noise_abs_cost: bool = False
+    # time-age channel on the action window (reference mppi_delay.py:279-287):
+    # the rollout advances a shared age buffer by dt each horizon step and
+    # appends it as an extra channel for time-aware models
+    encode_obs_time: bool = False
+    dt: float = 0.05
 
 
 class MPPIParams(NamedTuple):
@@ -99,6 +104,7 @@ def mppi_command(
     key: jax.Array,
     terminal_state_cost: Optional[Callable] = None,
     dynamics_carry_init: Optional[Callable] = None,
+    time_buffer: Optional[jnp.ndarray] = None,  # [A] ages, encode_obs_time
 ):
     """One planning step. Returns (action [nu] in env units, new U, aux).
 
@@ -139,25 +145,48 @@ def mppi_command(
     # 4. rollout (:271-296) as one scan over the horizon
     state0 = jnp.broadcast_to(obs[None], (K,) + obs.shape)
 
+    def augment_window(window, ages):
+        """Append the (shared) age channel to the action window (:282-287)."""
+        if not cfg.encode_obs_time:
+            return window
+        a = jnp.broadcast_to(ages[None, :, None], (window.shape[0], A, 1))
+        return jnp.concatenate([window, a.astype(window.dtype)], axis=2)
+
+    def step_ages(ages):
+        """time_buffer += dt; roll; newest age = 0 (:279-281)."""
+        ages = ages + cfg.dt
+        return jnp.roll(ages, -1).at[-1].set(0.0)
+
+    ages0 = (
+        time_buffer
+        if time_buffer is not None
+        else jnp.flip(jnp.arange(A, dtype=scaled.dtype)) * cfg.dt
+    )
+
     if dynamics_carry_init is None:
 
-        def rollout_step(state, window):
-            state = dynamics_fn(state, window)
+        def rollout_step(carry, window):
+            state, ages = carry
+            ages = step_ages(ages)
+            state = dynamics_fn(state, augment_window(window, ages))
             u = window[:, -1, :]  # current executed action (:288)
             c = running_cost_fn(state, u)
-            return state, (c, state)
+            return (state, ages), (c, state)
 
-        _, (costs, states) = lax.scan(rollout_step, state0, windows)
+        _, (costs, states) = lax.scan(rollout_step, (state0, ages0), windows)
     else:
 
         def rollout_step_carried(carry, window):
-            dyn_carry, state = carry
-            dyn_carry, state = dynamics_fn(dyn_carry, state, window)
+            dyn_carry, state, ages = carry
+            ages = step_ages(ages)
+            dyn_carry, state = dynamics_fn(dyn_carry, state, augment_window(window, ages))
             c = running_cost_fn(state, window[:, -1, :])
-            return (dyn_carry, state), (c, state)
+            return (dyn_carry, state, ages), (c, state)
 
         _, (costs, states) = lax.scan(
-            rollout_step_carried, (dynamics_carry_init(state0), state0), windows
+            rollout_step_carried,
+            (dynamics_carry_init(state0), state0, ages0),
+            windows,
         )
     cost_total = jnp.sum(costs, axis=0)  # [K]
 

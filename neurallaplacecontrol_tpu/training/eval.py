@@ -60,6 +60,11 @@ def evaluate_policy(
         u_scale=spec.action_high,
         u_min=-spec.action_high,
         u_max=spec.action_high,
+        # latent_ode ignores the age channel (models.latent_ode), so keep the
+        # window un-augmented for it; all other models are built to expect it
+        # when config.encode_obs_time is on (models.__init__).
+        encode_obs_time=config.encode_obs_time and model_name != "latent_ode",
+        dt=dt,
     )
     dtype = jnp.result_type(float)  # f64 under jax_enable_x64, else f32
     mppi_params = make_mppi_params(default_noise_sigma(spec.m, config.mppi_sigma, dtype=dtype))
@@ -84,7 +89,6 @@ def evaluate_policy(
         dynamics = build_learned_dynamics(
             env, model_apply, params, roll_outs, dt,
             action_buffer_size=config.action_buffer_size,
-            encode_obs_time=config.encode_obs_time and model_name == "nl",
         )
 
     settings = EpisodeSettings(
@@ -93,6 +97,7 @@ def evaluate_policy(
         action_buffer_size=config.action_buffer_size,
         observation_noise=config.observation_noise,
         random_policy=model_name == "random",
+        encode_obs_time=mppi_cfg.encode_obs_time,
     )
 
     episode_batch = make_batched_episode_fn(

@@ -50,24 +50,20 @@ class EpisodeSettings:
 
 
 def build_learned_dynamics(env: Env, model_apply: Callable, params, roll_outs: int,
-                           dt: float, action_buffer_size: int = 4,
-                           encode_obs_time: bool = False) -> Callable:
+                           dt: float, action_buffer_size: int = 4) -> Callable:
     """Wrap a learned model as the planner dynamics closure
     (mppi_with_model.py:103-122): next = state + model(state, window, dt).
 
     Batch size is taken from the incoming state so the same closure works
     single-chip (batch K) and inside a K-sharded shard_map (batch K/n);
-    ``roll_outs`` is kept for signature parity only.
+    ``roll_outs`` is kept for signature parity only. With encode_obs_time the
+    planner itself appends the time-age channel to the window
+    (planners.mppi_delay, reference mppi_delay.py:279-287), so the window
+    arrives here already augmented.
     """
-    del roll_outs
+    del roll_outs, action_buffer_size
 
     def dynamics(state, window):
-        if encode_obs_time:
-            ages = jnp.flip(jnp.arange(action_buffer_size, dtype=state.dtype))
-            ages = jnp.broadcast_to(
-                ages[None, :, None], (window.shape[0], action_buffer_size, 1)
-            )
-            window = jnp.concatenate([window, ages], axis=2)
         ts_pred = jnp.full((state.shape[0], 1), dt, dtype=state.dtype)
         return state + model_apply(params, state, window, ts_pred)
 
@@ -126,10 +122,13 @@ def make_episode_fn(
         raw0 = initial_state(env, k_reset)
         U0 = mppi_reset(k_u0, mppi_cfg, mppi_params)
         buffer0 = jnp.zeros((A, nu))
-        carry0 = (raw0, buffer0, U0, k_scan)
+        # entry ages for encode_obs_time (collector :231-233 initializes
+        # flip(arange(A)) * dt)
+        ages0 = jnp.flip(jnp.arange(A, dtype=buffer0.dtype)) * spec.dt
+        carry0 = (raw0, buffer0, ages0, U0, k_scan)
 
         def step(carry, _):
-            raw, buffer, U, key = carry
+            raw, buffer, ages, U, key = carry
             key, k_noise, k_rand, k_dt, k_obs, k_explore = jax.random.split(key, 6)
             obs = env.observe(raw)
 
@@ -142,6 +141,7 @@ def make_episode_fn(
                     mppi_cfg, mppi_params, dynamics_fn, running_cost,
                     U, obs, buffer, k_noise,
                     dynamics_carry_init=dynamics_carry_init,
+                    time_buffer=ages if settings.encode_obs_time else None,
                 )
                 if settings.explore_noise is not None:
                     # expert-collection exploration (collector :250-254)
@@ -160,6 +160,11 @@ def make_episode_fn(
             raw_next = raw + delta_t * env.rhs(raw, executed)
             reward = env.reward_state(raw_next) + env.reward_action(executed)
 
+            # entry ages advance by the REALIZED interval; newest entry is 0
+            # (collector get_action_with_encode_obs_time :20-24, :206-208)
+            ages = jnp.roll(ages, -1)
+            ages = (ages + delta_t).at[-1].set(0.0)
+
             # observation noise persisted into env state
             # (mppi_with_model.py:203-204)
             if settings.observation_noise > 0.0:
@@ -167,13 +172,16 @@ def make_episode_fn(
                     jax.random.normal(k_obs, raw_next.shape) * settings.observation_noise
                 )
 
+            rec_buffer = buffer
+            if settings.encode_obs_time:
+                rec_buffer = jnp.concatenate([buffer, ages[:, None]], axis=1)
             rec = EpisodeRecords(
-                s0=obs, a0=buffer, sn=env.observe(raw_next),
+                s0=obs, a0=rec_buffer, sn=env.observe(raw_next),
                 ts=delta_t, reward=reward,
             )
-            return (raw_next, buffer, U, key), rec
+            return (raw_next, buffer, ages, U, key), rec
 
-        (_, _, _, _), records = lax.scan(step, carry0, None, length=settings.n_steps)
+        _, records = lax.scan(step, carry0, None, length=settings.n_steps)
         total_reward = jnp.sum(records.reward)
         return total_reward, records
 
