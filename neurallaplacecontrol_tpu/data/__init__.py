@@ -14,3 +14,8 @@ from .replay import (  # noqa: F401
     save_replay_buffer,
     load_replay_buffer,
 )
+from .validation import (  # noqa: F401
+    compute_val_data_delay,
+    get_val_loss_delay_time_multi,
+    get_val_loss_delay_precomputed,
+)

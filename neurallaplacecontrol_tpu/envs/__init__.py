@@ -2,7 +2,7 @@
 with delayed-action oracles and irregular time grids."""
 
 from .base import Env, EnvSpec, env_step, sample_dt, trig_to_angle  # noqa: F401
-from . import pendulum, cartpole, acrobot, oracle  # noqa: F401
+from . import pendulum, cartpole, acrobot, oracle, render  # noqa: F401
 from .oracle import ORACLES, oracle_for  # noqa: F401
 
 _FACTORIES = {

@@ -20,7 +20,7 @@ Irregular observation-time sampling follows base_env.build_time_grid:99-134
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +56,11 @@ class Env:
     reward_action: Callable  # action -> reward
     reset: Callable  # key -> raw state
     state_max: tuple  # synthetic-data sampling box (overlay.py:689-694)
+    # Optional variant-aware state reward (s, goal_x, state_constraint) used
+    # by the change-goal / state-constraint planner costs
+    # (reference ctcartpole.diff_obs_reward_:290-343); None for envs without
+    # reward variants.
+    reward_state_ext: Optional[Callable] = None
 
     def diff_reward(self, s, a):
         """reward_state + reward_action (base_env.py:94-97)."""

@@ -84,6 +84,53 @@ def obs_to_state(obs: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([obs[..., 0], obs[..., 1], theta, obs[..., 4]], axis=-1)
 
 
+def end_effector_reward(
+    s,
+    goal_x=0.0,
+    state_constraint: bool = False,
+    exp_reward: bool = False,
+    vel_rew_const: float = 0.01,
+):
+    """Variant-aware end-effector state reward
+    (ctcartpole.diff_obs_reward_:290-343, swing_up branch).
+
+    goal_x moves the target end-effector x (change_goal uses -2 / +2 after
+    the mid-episode flip); state_constraint adds the one-sided exponential
+    barrier exp(10 err_x + 7) that keeps the cart left of the constraint.
+    """
+    if s.shape[-1] == 4:
+        x, xdot, theta, thetadot = s[..., 0], s[..., 1], s[..., 2], s[..., 3]
+        cos_len, sin_len = _LENGTH * jnp.cos(theta), _LENGTH * jnp.sin(theta)
+    else:
+        x, xdot = s[..., 0], s[..., 1]
+        cos_len, sin_len, thetadot = s[..., 2], s[..., 3], s[..., 4]
+    err_x = (x + sin_len) - goal_x
+    err_y = cos_len - _LENGTH
+    if state_constraint:
+        position_error = err_x**2 + jnp.exp(err_x * 10.0 + 7.0)
+    else:
+        position_error = err_x**2
+    state_reward = -(position_error + err_y**2)
+    velocity_reward = -(xdot**2) - thetadot**2
+    out = state_reward + vel_rew_const * velocity_reward
+    return jnp.exp(out) if exp_reward else out
+
+
+def end_effector_reward_reduced(s, goal_x=0.0, state_constraint: bool = False,
+                                exp_reward: bool = False):
+    """Reduced-state (x, l cos, l sin) variant without velocity terms
+    (ctcartpole.diff_obs_reward_reduced_state:239-288)."""
+    x, cos_len, sin_len = s[..., 0], s[..., 1], s[..., 2]
+    err_x = (x + sin_len) - goal_x
+    err_y = cos_len - _LENGTH
+    if state_constraint:
+        position_error = err_x**2 + jnp.exp(err_x * 10.0 + 7.0)
+    else:
+        position_error = err_x**2
+    out = -(position_error + err_y**2)
+    return jnp.exp(out) if exp_reward else out
+
+
 def make(dt=0.05, ts_grid="fixed", obs_noise=0.0, friction=False) -> Env:
     spec = EnvSpec(
         name="cartpole",
@@ -99,17 +146,13 @@ def make(dt=0.05, ts_grid="fixed", obs_noise=0.0, friction=False) -> Env:
 
     def reward_state(s):
         # ctcartpole.diff_obs_reward_:289-339 (swing_up branch, default goal)
-        if s.shape[-1] == 4:
-            x, xdot, theta, thetadot = s[..., 0], s[..., 1], s[..., 2], s[..., 3]
-            cos_len, sin_len = _LENGTH * jnp.cos(theta), _LENGTH * jnp.sin(theta)
-        else:
-            x, xdot = s[..., 0], s[..., 1]
-            cos_len, sin_len, thetadot = s[..., 2], s[..., 3], s[..., 4]
-        ee_x = x + sin_len
-        ee_y = cos_len
-        state_reward = -((ee_x - 0.0) ** 2 + (ee_y - _LENGTH) ** 2)
-        velocity_reward = -(xdot**2) - thetadot**2
-        return state_reward + spec.vel_rew_const * velocity_reward
+        return end_effector_reward(s, vel_rew_const=spec.vel_rew_const)
+
+    def reward_state_ext(s, goal_x, state_constraint=False):
+        return end_effector_reward(
+            s, goal_x=goal_x, state_constraint=state_constraint,
+            vel_rew_const=spec.vel_rew_const,
+        )
 
     def reward_action(a):
         return -spec.ac_rew_const * jnp.sum(a**2, axis=-1)
@@ -128,4 +171,5 @@ def make(dt=0.05, ts_grid="fixed", obs_noise=0.0, friction=False) -> Env:
         reward_action=reward_action,
         reset=reset,
         state_max=(5.0, 20.0, float(jnp.pi), 30.0),  # overlay.py:690
+        reward_state_ext=reward_state_ext,
     )

@@ -74,6 +74,77 @@ def acrobot_dynamics_dt_delay(
     return _acrobot.observe(new_raw)
 
 
+def _finite_diff_angles(cos_t, sin_t, cos_p, sin_p, ts):
+    """theta, theta_dot from two trig frames (oracle.py:240-253, 312-325)."""
+    from .base import trig_to_angle
+
+    theta = trig_to_angle(cos_t, sin_t)
+    theta_p = trig_to_angle(cos_p, sin_p)
+    return theta, (theta - theta_p) / ts
+
+
+def cartpole_dynamics_dt_latent(
+    state, prev_state, action, ts, action_low=-3.0, action_high=3.0
+):
+    """Two-frame cartpole step (oracle.cartpole_dynamics_dt_latent:299-375).
+
+    Velocities are reconstructed by finite differences of the current and
+    previous frame; the update is SEMI-IMPLICIT Euler (the new velocity
+    advances the position, oracle.py:355-366), unlike the explicit-Euler
+    delay oracle. state/prev_state: [..., 5] trig form
+    (x, x_dot, l cos, l sin, theta_dot; stored velocities are ignored) or
+    [..., 4] raw (x, x_dot, theta, theta_dot).
+    """
+    u = jnp.clip(action[..., 0], action_low, action_high)
+    ts = ts[..., 0] if ts.ndim > 1 else ts
+    x, xp = state[..., 0], prev_state[..., 0]
+    x_dot = (x - xp) / ts
+    if state.shape[-1] == 5:
+        theta, theta_dot = _finite_diff_angles(
+            state[..., 2], state[..., 3], prev_state[..., 2], prev_state[..., 3], ts
+        )
+    else:
+        theta = state[..., 2]
+        theta_dot = (theta - prev_state[..., 2]) / ts
+    costheta, sintheta = jnp.cos(theta), jnp.sin(theta)
+    xacc, thetaacc = _cartpole._accels(x_dot, costheta, sintheta, theta_dot, u, False)
+
+    new_theta_dot = theta_dot + thetaacc * ts
+    new_theta = theta + new_theta_dot * ts
+    new_x_dot = x_dot + xacc * ts
+    new_x = x + new_x_dot * ts
+    if state.shape[-1] == 5:
+        return jnp.stack(
+            [new_x, new_x_dot, jnp.cos(new_theta), jnp.sin(new_theta), new_theta_dot],
+            axis=-1,
+        )
+    return jnp.stack([new_x, new_x_dot, new_theta, new_theta_dot], axis=-1)
+
+
+def cartpole_dynamics_dt_latent_reduced(
+    state, prev_state, action, ts, action_low=-3.0, action_high=3.0
+):
+    """Position-only two-frame cartpole step
+    (oracle.cartpole_dynamics_dt_latent_reduced:227-296): state [..., 3] is
+    (x, l cos, l sin); velocities come entirely from finite differences and
+    the returned frame is position-only again.
+    """
+    u = jnp.clip(action[..., 0], action_low, action_high)
+    ts = ts[..., 0] if ts.ndim > 1 else ts
+    x, xp = state[..., 0], prev_state[..., 0]
+    x_dot = (x - xp) / ts
+    theta, theta_dot = _finite_diff_angles(
+        state[..., 1], state[..., 2], prev_state[..., 1], prev_state[..., 2], ts
+    )
+    costheta, sintheta = jnp.cos(theta), jnp.sin(theta)
+    xacc, thetaacc = _cartpole._accels(x_dot, costheta, sintheta, theta_dot, u, False)
+
+    new_theta_dot = theta_dot + thetaacc * ts
+    new_theta = theta + new_theta_dot * ts
+    new_x = x + (x_dot + xacc * ts) * ts
+    return jnp.stack([new_x, jnp.cos(new_theta), jnp.sin(new_theta)], axis=-1)
+
+
 # Non-delayed single-action variants (oracle.py:378-552): delay 0 with the
 # action viewed as a one-entry buffer.
 def pendulum_dynamics_dt(state, action, ts, **kw):

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from ..config import Config
 from ..envs import make_env
 from ..planners import MPPIConfig, default_noise_sigma, make_mppi_params
+from ..utils.timing import profile_trace
 from .rollout import (
     EpisodeSettings,
     build_learned_dynamics,
@@ -37,6 +38,10 @@ def evaluate_policy(
     params=None,
     roll_outs: Optional[int] = None,
     time_steps: Optional[int] = None,
+    state_constraint: bool = False,
+    change_goal: bool = False,
+    save_video: Optional[bool] = None,
+    profile_trace_dir: Optional[str] = None,
 ) -> dict:
     """Run one episode per seed; returns the reference's result dict fields
     plus per-seed returns.
@@ -98,6 +103,8 @@ def evaluate_policy(
         observation_noise=config.observation_noise,
         random_policy=model_name == "random",
         encode_obs_time=mppi_cfg.encode_obs_time,
+        state_constraint=state_constraint,
+        change_goal=change_goal,
     )
 
     episode_batch = make_batched_episode_fn(
@@ -107,9 +114,23 @@ def evaluate_policy(
     keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
 
     t0 = time.perf_counter()
-    totals, records = episode_batch(keys)
-    totals.block_until_ready()
+    with profile_trace(profile_trace_dir):
+        totals, records = episode_batch(keys)
+        totals.block_until_ready()
     elapsed = time.perf_counter() - t0
+
+    video_path = None
+    if config.save_video if save_video is None else save_video:
+        # first seed's episode only (mppi_with_model.py:282-285)
+        from ..envs.render import render_episode, save_video as _save
+
+        first = jax.tree_util.tree_map(lambda x: x[0], records)
+        frames = render_episode(env, first)
+        video_path = _save(
+            frames,
+            f"{config.log_folder}/{model_name}_{env_name}_d{action_delay}.gif",
+            fps=int(1.0 / dt),
+        )
 
     scale = 200.0 / settings.n_steps
     totals = jnp.asarray(totals) * scale
@@ -129,4 +150,5 @@ def evaluate_policy(
         "episode_elapsed_time": elapsed,
         "episode_elapsed_time_per_it": elapsed / (settings.n_steps * n),
         "mppi_rollouts_per_sec": roll_outs * settings.n_steps * n / elapsed,
+        "video_path": video_path,
     }

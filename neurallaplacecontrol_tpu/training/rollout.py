@@ -47,6 +47,11 @@ class EpisodeSettings:
     explore_noise: Optional[float] = None  # expert-collection action noise
     random_policy: bool = False
     encode_obs_time: bool = False
+    # planner-cost variants (mppi_with_model.py:145-163); the recorded episode
+    # reward stays the standard diff reward like the reference (the variants
+    # only shape the planner's running cost)
+    state_constraint: bool = False
+    change_goal: bool = False
 
 
 def build_learned_dynamics(env: Env, model_apply: Callable, params, roll_outs: int,
@@ -82,11 +87,35 @@ def build_oracle_dynamics(env: Env, roll_outs: int, dt: float, delay: int) -> Ca
     return dynamics
 
 
-def build_running_cost(env: Env) -> Callable:
-    """cost = -(diff_obs_reward_ + diff_ac_reward_) (mppi_with_model.py:145-171)."""
+def build_running_cost(env: Env, state_constraint: bool = False) -> Callable:
+    """cost = -(diff_obs_reward_ + diff_ac_reward_) (mppi_with_model.py:145-171).
+
+    With ``state_constraint`` the cartpole cost adds the exponential position
+    barrier (mppi_with_model.py:146-151)."""
+    if state_constraint:
+        assert env.reward_state_ext is not None, env.spec.name
+
+        def running_cost(state, action):
+            return -(
+                env.reward_state_ext(state, 0.0, state_constraint=True)
+                + env.reward_action(action)
+            )
+
+        return running_cost
 
     def running_cost(state, action):
         return -(env.reward_state(state) + env.reward_action(action))
+
+    return running_cost
+
+
+def build_goal_running_cost(env: Env) -> Callable:
+    """change_goal planner cost: (state, action, goal_x) -> cost
+    (mppi_with_model.py:152-162; goal flips -2 -> +2 mid-episode)."""
+    assert env.reward_state_ext is not None, env.spec.name
+
+    def running_cost(state, action, goal_x):
+        return -(env.reward_state_ext(state, goal_x) + env.reward_action(action))
 
     return running_cost
 
@@ -113,7 +142,8 @@ def make_episode_fn(
     reference mppi_with_model.py:272,288); callers rescale by 200/n_steps.
     """
     spec = env.spec
-    running_cost = build_running_cost(env)
+    running_cost = build_running_cost(env, state_constraint=settings.state_constraint)
+    goal_cost = build_goal_running_cost(env) if settings.change_goal else None
     A, nu = settings.action_buffer_size, spec.m
     delay = settings.delay
 
@@ -127,10 +157,18 @@ def make_episode_fn(
         ages0 = jnp.flip(jnp.arange(A, dtype=buffer0.dtype)) * spec.dt
         carry0 = (raw0, buffer0, ages0, U0, k_scan)
 
-        def step(carry, _):
+        def step(carry, it):
             raw, buffer, ages, U, key = carry
             key, k_noise, k_rand, k_dt, k_obs, k_explore = jax.random.split(key, 6)
             obs = env.observe(raw)
+
+            if goal_cost is not None:
+                # goal flips -2 -> +2 once half the episode has elapsed
+                # (mppi_with_model.py:236-253)
+                goal_x = jnp.where(it > settings.n_steps / 2.0, 2.0, -2.0)
+                cost_fn = lambda s, a: goal_cost(s, a, goal_x)  # noqa: E731
+            else:
+                cost_fn = running_cost
 
             if settings.random_policy:
                 action = jax.random.uniform(
@@ -138,7 +176,7 @@ def make_episode_fn(
                 )
             else:
                 action, U, _ = mppi_command(
-                    mppi_cfg, mppi_params, dynamics_fn, running_cost,
+                    mppi_cfg, mppi_params, dynamics_fn, cost_fn,
                     U, obs, buffer, k_noise,
                     dynamics_carry_init=dynamics_carry_init,
                     time_buffer=ages if settings.encode_obs_time else None,
@@ -181,7 +219,7 @@ def make_episode_fn(
             )
             return (raw_next, buffer, ages, U, key), rec
 
-        _, records = lax.scan(step, carry0, None, length=settings.n_steps)
+        _, records = lax.scan(step, carry0, jnp.arange(settings.n_steps))
         total_reward = jnp.sum(records.reward)
         return total_reward, records
 

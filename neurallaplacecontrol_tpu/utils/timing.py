@@ -27,3 +27,30 @@ class Timer:
             yield
         finally:
             self.excluded += time.perf_counter() - t0
+
+
+@contextmanager
+def profile_trace(trace_dir: str | None):
+    """XLA/TPU profiler trace around a block (SURVEY.md §5: the reference has
+    no tracing; here ``jax.profiler`` traces are a first-class switch).
+
+    ``trace_dir=None`` is a no-op, so call sites can pass a config field
+    directly. View the trace with TensorBoard or xprof.
+    """
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(trace_dir):
+        yield
+
+
+@contextmanager
+def annotate(name: str):
+    """Named region in the profiler timeline (jax.profiler.TraceAnnotation),
+    usable around host-side phases too."""
+    import jax
+
+    with jax.profiler.TraceAnnotation(name):
+        yield

@@ -105,10 +105,16 @@ def test_train_reduces_loss_and_checkpoints(model_name, tmp_path):
         train_samples_per_dim=4,
         iters_per_log=100,
         saved_models_path=str(tmp_path) + "/",
+        # a fixed epoch budget keeps the workload deterministic under host
+        # contention (a wall-clock budget completes fewer steps when the
+        # machine is busy and the convergence assert below gets flaky)
+        training_epochs=10,
+        learning_rate=1e-3,
+        end_training_after_seconds=None,
     )
     model, params, res = train_model(
         model_name, "oderl-pendulum", cfg, delay=0,
-        retrain=True, force_retrain=True, end_training_after_seconds=25,
+        retrain=True, force_retrain=True,
     )
     losses = res["epoch_losses"]
     assert losses[-1] < losses[0] / 2, losses
@@ -126,3 +132,32 @@ def test_train_reduces_loss_and_checkpoints(model_name, tmp_path):
     # missing checkpoint with retrain=False raises (train_utils.py:285-286)
     with pytest.raises(ValueError):
         train_model("node", "oderl-pendulum", cfg, delay=3, retrain=False)
+
+
+def test_oracle_val_loss_helpers(key):
+    """A 'model' that predicts the oracle state-diff scores ~0; an untrained
+    NL model scores finite and strictly worse (overlay.py:137-177 analog)."""
+    from neurallaplacecontrol_tpu.data import (
+        compute_val_data_delay,
+        get_val_loss_delay_precomputed,
+        get_val_loss_delay_time_multi,
+    )
+    from neurallaplacecontrol_tpu.envs import ORACLES, make_env
+    from neurallaplacecontrol_tpu.models import make_model
+
+    env = make_env("oderl-pendulum")
+    delay = 1
+    s0, a0, sn, ts = compute_val_data_delay(env, delay, key, samples_per_dim=3)
+    assert s0.shape[0] == a0.shape[0] == sn.shape[0] == ts.shape[0]
+
+    def oracle_apply(params, s0, a0, ts):
+        return ORACLES["pendulum"](s0, a0, ts, delay) - s0
+
+    assert get_val_loss_delay_precomputed(oracle_apply, None, s0, a0, sn, ts) < 1e-20
+
+    model = make_model("nl", "oderl-pendulum", 3, 1, 2.0, dtype=jnp.float64)
+    params = model.init(key)
+    loss = get_val_loss_delay_time_multi(
+        model.apply, params, env, delay, key, samples_per_dim=3
+    )
+    assert jnp.isfinite(loss) and loss > 1e-8
