@@ -51,6 +51,19 @@ class MPPIConfig:
     # appends it as an extra channel for time-aware models
     encode_obs_time: bool = False
     dt: float = 0.05
+    # M state trajectories per control sequence for stochastic dynamics, with
+    # a discounted cost-variance penalty (reference ctor :84-86,:108-112; the
+    # reference's own M>1 math is vestigial — this implements the documented
+    # intent: cost = mean over M + rollout_var_cost * discounted var over M)
+    rollout_samples: int = 1  # M
+    rollout_var_cost: float = 0.0
+    rollout_var_discount: float = 0.95
+    # pass the horizon step index to the dynamics as a third argument
+    # (reference step_dependent_dynamics, :82,:187-191)
+    step_dependent_dynamics: bool = False
+    # number of leading actions returned by command (reference u_per_command,
+    # :81,:217-224; 1 returns shape [nu] like the reference default)
+    u_per_command: int = 1
 
 
 class MPPIParams(NamedTuple):
@@ -142,8 +155,28 @@ def mppi_command(
     windows = full[:, idx, :]  # [K, T, A, nu]
     windows = jnp.swapaxes(windows, 0, 1)  # [T, K, A, nu]
 
-    # 4. rollout (:271-296) as one scan over the horizon
-    state0 = jnp.broadcast_to(obs[None], (K,) + obs.shape)
+    # 4. rollout (:271-296) as one scan over the horizon. With M > 1 the
+    # batch fed to the dynamics is M*K (closures are batch-size-agnostic);
+    # costs reshape to [M, K] for the mean/variance aggregation.
+    M = cfg.rollout_samples
+    state0 = jnp.broadcast_to(obs[None], (M * K,) + obs.shape)
+
+    def tile_window(window):
+        return window if M == 1 else jnp.tile(window, (M, 1, 1))
+
+    def call_dynamics(state, window, t):
+        if cfg.step_dependent_dynamics:
+            return dynamics_fn(state, window, t)
+        return dynamics_fn(state, window)
+
+    def cost_stats(c, t, cost_var):
+        """Accumulate the per-step cost over M and the discounted variance
+        (reference :290-292 intent)."""
+        if M == 1:
+            return c, cost_var
+        cM = c.reshape(M, K)
+        cost_var = cost_var + jnp.var(cM, axis=0) * cfg.rollout_var_discount**t
+        return jnp.mean(cM, axis=0), cost_var
 
     def augment_window(window, ages):
         """Append the (shared) age channel to the action window (:282-287)."""
@@ -163,38 +196,57 @@ def mppi_command(
         else jnp.flip(jnp.arange(A, dtype=scaled.dtype)) * cfg.dt
     )
 
+    var0 = jnp.zeros((K,), state0.dtype)
+    tidx = jnp.arange(T)
+
     if dynamics_carry_init is None:
 
-        def rollout_step(carry, window):
-            state, ages = carry
+        def rollout_step(carry, xs):
+            window, t = xs
+            state, ages, cost_var = carry
             ages = step_ages(ages)
-            state = dynamics_fn(state, augment_window(window, ages))
-            u = window[:, -1, :]  # current executed action (:288)
+            state = call_dynamics(state, tile_window(augment_window(window, ages)), t)
+            u = tile_window(window)[:, -1, :]  # current executed action (:288)
             c = running_cost_fn(state, u)
-            return (state, ages), (c, state)
+            c, cost_var = cost_stats(c, t, cost_var)
+            return (state, ages, cost_var), (c, state)
 
-        _, (costs, states) = lax.scan(rollout_step, (state0, ages0), windows)
+        (_, _, cost_var), (costs, states) = lax.scan(
+            rollout_step, (state0, ages0, var0), (windows, tidx)
+        )
     else:
 
-        def rollout_step_carried(carry, window):
-            dyn_carry, state, ages = carry
+        def rollout_step_carried(carry, xs):
+            window, t = xs
+            dyn_carry, state, ages, cost_var = carry
             ages = step_ages(ages)
-            dyn_carry, state = dynamics_fn(dyn_carry, state, augment_window(window, ages))
-            c = running_cost_fn(state, window[:, -1, :])
-            return (dyn_carry, state, ages), (c, state)
+            dyn_carry, state = dynamics_fn(
+                dyn_carry, state, tile_window(augment_window(window, ages))
+            )
+            c = running_cost_fn(state, tile_window(window)[:, -1, :])
+            c, cost_var = cost_stats(c, t, cost_var)
+            return (dyn_carry, state, ages, cost_var), (c, state)
 
-        _, (costs, states) = lax.scan(
+        (_, _, _, cost_var), (costs, states) = lax.scan(
             rollout_step_carried,
-            (dynamics_carry_init(state0), state0, ages0),
-            windows,
+            (dynamics_carry_init(state0), state0, ages0, var0),
+            (windows, tidx),
         )
     cost_total = jnp.sum(costs, axis=0)  # [K]
 
     if terminal_state_cost is not None:
-        # states: [T, K, nx] -> [K, T, nx]; actions likewise (:306-308)
-        cost_total = cost_total + terminal_state_cost(
-            jnp.swapaxes(states, 0, 1), jnp.swapaxes(windows[..., -1, :], 0, 1)
-        )
+        # states: [T, M*K, nx] -> per-M [K, T, nx]; actions [K, T, nu]
+        # (:306-308); with M > 1 the terminal cost averages over the M
+        # trajectory samples like the running cost.
+        acts = jnp.swapaxes(windows[..., -1, :], 0, 1)
+        states_m = states.reshape(T, M, K, states.shape[-1])
+        term = jax.vmap(
+            lambda s: terminal_state_cost(jnp.swapaxes(s, 0, 1), acts), in_axes=1
+        )(states_m)
+        cost_total = cost_total + jnp.mean(term, axis=0)
+
+    # discounted cost-variance penalty across the M rollouts (:108-112)
+    cost_total = cost_total + cost_var * cfg.rollout_var_cost
 
     # 5. perturbation cost (:343-344)
     cost_total = cost_total + jnp.sum(U[None] * action_cost, axis=(1, 2))
@@ -205,8 +257,11 @@ def mppi_command(
     omega = weights / jnp.sum(weights)
     U = U + jnp.sum(omega[:, None, None] * noise, axis=0)
 
-    # 7. first action, env units (:217-224)
-    action = U[0] * cfg.u_scale
+    # 7. leading action(s), env units (:217-224)
+    if cfg.u_per_command == 1:
+        action = U[0] * cfg.u_scale
+    else:
+        action = U[: cfg.u_per_command] * cfg.u_scale
     aux = {"cost_total": cost_total, "omega": omega}
     return action, U, aux
 

@@ -125,3 +125,71 @@ def test_oracle_beats_random_cartpole():
     )
     random = evaluate_policy("random", "oderl-cartpole", 1, seeds=[0], config=cfg)
     assert oracle["total_reward"] > random["total_reward"] + 1000.0
+
+
+def test_rollout_samples_deterministic_equivalence(key):
+    """M>1 with deterministic dynamics gives exactly the M=1 result."""
+    env, cfg1, params, dyn, cost = _pendulum_planner(K=32, T=8)
+    import dataclasses
+    cfgM = dataclasses.replace(cfg1, rollout_samples=3, rollout_var_cost=10.0)
+    U = mppi_reset(key, cfg1, params)
+    obs = env.observe(jnp.asarray([jnp.pi, 1.0]))
+    buf = jnp.zeros((4, 1))
+    a1, U1, aux1 = mppi_command(cfg1, params, dyn, cost, U, obs, buf, key)
+    aM, UM, auxM = mppi_command(cfgM, params, dyn, cost, U, obs, buf, key)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(aM), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(aux1["cost_total"]), np.asarray(auxM["cost_total"]), atol=1e-9
+    )
+
+
+def test_rollout_var_cost_penalizes_spread(key):
+    """A dynamics whose M-slices diverge accrues the discounted variance
+    penalty: with per-slice offsets m (m=0..M-1) and cost=state[0], the
+    variance at step t is var([0,1,2]*t... analytically checked."""
+    K, T, M = 2, 3, 3
+    cfg = MPPIConfig(
+        num_samples=K, horizon=T, nu=1, u_scale=1.0, u_min=-9.0, u_max=9.0,
+        rollout_samples=M, rollout_var_cost=1.0, rollout_var_discount=0.5,
+    )
+    params = make_mppi_params(jnp.asarray([[1e-18]], dtype=jnp.float64))
+
+    def dynamics(state, window):
+        m_index = jnp.arange(state.shape[0]) // K  # 0,0,1,1,2,2
+        return state + m_index[:, None].astype(state.dtype)
+
+    def cost_fn(state, action):
+        return state[:, 0]
+
+    U = jnp.zeros((T, 1), dtype=jnp.float64)
+    obs = jnp.zeros((1,), dtype=jnp.float64)
+    buf = jnp.zeros((4, 1), dtype=jnp.float64)
+    _, _, aux = mppi_command(cfg, params, dynamics, cost_fn, U, obs, buf, key)
+    # state after step t (t=0,1,2) in slice m: (t+1)*m; cost per step mean_m =
+    # (t+1)*mean([0,1,2]) = t+1; sum over t = 6.
+    # var_m at step t = (t+1)^2 * var([0,1,2]) = (t+1)^2 * 2/3;
+    # discounted sum = 2/3*(1*1 + 4*0.5 + 9*0.25) = 2/3*5.25 = 3.5
+    np.testing.assert_allclose(np.asarray(aux["cost_total"]), 6.0 + 3.5, atol=1e-9)
+
+
+def test_step_dependent_dynamics_and_u_per_command(key):
+    K, T = 2, 4
+    cfg = MPPIConfig(
+        num_samples=K, horizon=T, nu=1, u_scale=1.0, u_min=-9.0, u_max=9.0,
+        step_dependent_dynamics=True, u_per_command=2,
+    )
+    params = make_mppi_params(jnp.asarray([[1e-18]], dtype=jnp.float64))
+
+    def dynamics(state, window, t):
+        return state + t.astype(state.dtype)  # uses the horizon index
+
+    def cost_fn(state, action):
+        return state[:, 0]
+
+    U = jnp.zeros((T, 1), dtype=jnp.float64)
+    obs = jnp.zeros((1,), dtype=jnp.float64)
+    buf = jnp.zeros((4, 1), dtype=jnp.float64)
+    action, _, aux = mppi_command(cfg, params, dynamics, cost_fn, U, obs, buf, key)
+    assert action.shape == (2, 1)  # u_per_command leading actions
+    # states: 0, 1, 3, 6 -> cost 10
+    np.testing.assert_allclose(np.asarray(aux["cost_total"]), 10.0, atol=1e-9)
