@@ -2,6 +2,9 @@
 replay-buffer artifacts."""
 
 from .synthetic import (  # noqa: F401
+    generate_irregular_data,
+    generate_irregular_data_delay,
+    generate_irregular_data_delay_latent,
     generate_irregular_data_delay_time_multi,
     default_samples_per_dim,
 )

@@ -118,6 +118,95 @@ def _generate(env: Env, key: jax.Array, samples_per_dim: int, rounds: int,
     return s0, buf, sn, ts
 
 
+def generate_irregular_data_delay_latent(
+    env: Env,
+    key: jax.Array,
+    delay: int,
+    samples_per_dim: Optional[int] = None,
+    rand: bool = False,
+    latent: bool = False,
+):
+    """Two-frame synthetic data for latent (finite-difference) models
+    (reference overlay.generate_irregular_data_delay_latent:222-397 +
+    base_env.batch_integrate_system_double_time:175-229).
+
+    Each sample integrates TWO consecutive observation intervals from a
+    sampled 3-point time grid: sb = frame after the first interval, sn =
+    frame after the second. Returns (s0, a0, sb, sn, ts) in trig form, with
+    ``delay`` extra random actions appended to the buffer (overlay :378-384)
+    and — mirroring a reference quirk — ts equal to the second ABSOLUTE grid
+    point (overlay uses ts[1], not the interval; they agree on the 'fixed'
+    grid). With latent=True (cartpole only) sn is replaced by the two-frame
+    latent oracle's prediction and all frames reduce to position dims
+    [x, l cos, l sin] (overlay :385-391).
+    """
+    spec = env.spec
+    spd = samples_per_dim or default_samples_per_dim(spec.name)
+    n_state, m = spec.n_state, spec.m
+    state_max = jnp.asarray(env.state_max)
+    a_high = spec.action_high
+
+    keys = jax.random.split(key, spd)
+    s0_l, a0_l, sb_l, sn_l, ts_l = [], [], [], [], []
+    for k in keys:
+        k_s, k_a, k_t = jax.random.split(k, 3)
+        if rand:
+            s0s = (jax.random.uniform(k_s, (spd**n_state, n_state)) - 0.5) * 2.0 * state_max
+            actions = (jax.random.uniform(k_a, (spd, m)) - 0.5) * 2.0 * a_high
+        else:
+            grids = [jnp.linspace(-state_max[i], state_max[i], spd) for i in range(n_state)]
+            mesh = jnp.meshgrid(*grids, indexing="ij")
+            s0s = jnp.stack([g.reshape(-1) for g in mesh], axis=-1)
+            if m == 1:
+                actions = jnp.linspace(-a_high, a_high, spd)[:, None]
+            else:
+                ag = [jnp.linspace(-a_high, a_high, spd) for _ in range(m)]
+                am = jnp.meshgrid(*ag, indexing="ij")
+                actions = jnp.stack([g.reshape(-1) for g in am], axis=-1)
+        # 3-point grid (build_time_grid only_one_step=False, T=3)
+        pts = sample_dt(k_t, spec.ts_grid, spec.dt, (3,))
+        grid = jnp.cumsum(pts) if spec.ts_grid != "fixed" else spec.dt * jnp.arange(3.0)
+        d1, d2 = grid[1] - grid[0], grid[2] - grid[1]
+
+        s = s0s[:, None, :]
+        a = actions[None, :, :]
+        S, A = s0s.shape[0], actions.shape[0]
+        s_b = jnp.broadcast_to(s, (S, A, n_state))
+        a_b = jnp.broadcast_to(a, (S, A, m))
+        sb = s_b + d1 * env.rhs(s_b, a_b)
+        sn = sb + d2 * env.rhs(sb, a_b)
+        # action-major flattening (batch_integrate_system layout)
+        flat = lambda x: jnp.swapaxes(x, 0, 1).reshape(-1, x.shape[-1])  # noqa: E731
+        s0_l.append(env.observe(flat(s_b)))
+        sb_l.append(env.observe(flat(sb)))
+        sn_l.append(env.observe(flat(sn)))
+        a0_l.append(flat(a_b))
+        ts_l.append(jnp.full((S * A, 1), grid[1]))
+
+    s0 = jnp.concatenate(s0_l)
+    a0 = jnp.concatenate(a0_l)
+    sb = jnp.concatenate(sb_l)
+    sn = jnp.concatenate(sn_l)
+    ts = jnp.concatenate(ts_l)
+
+    if delay > 0:
+        extra = (
+            jax.random.uniform(jax.random.fold_in(key, 7), (a0.shape[0], delay, m)) - 0.5
+        ) * 2.0 * a_high
+        a0 = jnp.concatenate([a0[:, None, :], extra], axis=1)
+
+    if latent:
+        from ..envs.oracle import cartpole_dynamics_dt_latent
+
+        assert "cartpole" in spec.name, "latent reduction is cartpole-only"
+        act = a0[:, 0] if a0.ndim == 3 else a0
+        sn = cartpole_dynamics_dt_latent(sb, s0, act, ts)
+        s0 = s0[:, [0, 2, 3]]
+        sb = sb[:, [0, 2, 3]]
+        sn = sn[:, [0, 2, 3]]
+    return s0, a0, sb, sn, ts
+
+
 def generate_irregular_data_delay_time_multi(
     env: Env,
     key: jax.Array,
@@ -135,3 +224,28 @@ def generate_irregular_data_delay_time_multi(
         env, key, spd, rounds, rand, delay, action_buffer_size,
         encode_obs_time, reuse_state_actions_when_sampling_times,
     )
+
+
+def generate_irregular_data_delay(env: Env, key: jax.Array, delay: int,
+                                  samples_per_dim: Optional[int] = None,
+                                  rand: bool = False):
+    """Legacy single-step variant (overlay.generate_irregular_data_delay
+    :400-557): the buffer holds the executed action at index 0 followed by
+    ``delay`` random actions — i.e. a (delay+1)-long buffer with the
+    executed action at -(delay+1), which is the multi generator with
+    action_buffer_size = delay + 1."""
+    return generate_irregular_data_delay_time_multi(
+        env, key, delay, samples_per_dim=samples_per_dim, rand=rand,
+        action_buffer_size=delay + 1,
+    )
+
+
+def generate_irregular_data(env: Env, key: jax.Array,
+                            samples_per_dim: Optional[int] = None,
+                            rand: bool = False):
+    """Legacy non-delayed variant (overlay.generate_irregular_data:781-927):
+    single executed action, flat [N, m] action layout."""
+    s0, a0, sn, ts = generate_irregular_data_delay(
+        env, key, 0, samples_per_dim=samples_per_dim, rand=rand
+    )
+    return s0, a0[:, 0], sn, ts

@@ -95,6 +95,16 @@ def sample_dt(key: jax.Array, ts_grid: str, dt: float, shape=()) -> jnp.ndarray:
     raise ValueError(f"Unknown ts_grid: {ts_grid}")
 
 
+def df_du(env: Env, state: jnp.ndarray, action: jnp.ndarray) -> jnp.ndarray:
+    """Action Jacobian of the dynamics rhs at (state, action).
+
+    The reference hand-derives these per env (ctcartpole.df_du:136-157,
+    ctpendulum.df_du:86-89); forward-mode AD over the shared rhs replaces
+    the hand-written forms exactly and covers every env.
+    """
+    return jax.jacfwd(lambda a: env.rhs(state, a))(action)
+
+
 def env_step(env: Env, raw_state: jnp.ndarray, action: jnp.ndarray, delta_t) -> jnp.ndarray:
     """One environment transition: a single explicit Euler step of the raw
     dynamics under a constant action.

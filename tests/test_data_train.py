@@ -161,3 +161,62 @@ def test_oracle_val_loss_helpers(key):
         model.apply, params, env, delay, key, samples_per_dim=3
     )
     assert jnp.isfinite(loss) and loss > 1e-8
+
+
+def test_latent_two_frame_generator(key):
+    """sb must be one Euler step from s0 and sn one step from sb under the
+    same action (overlay :222-397 / base_env double_time :175-229)."""
+    from neurallaplacecontrol_tpu.data import generate_irregular_data_delay_latent
+    from neurallaplacecontrol_tpu.envs import make_env
+    from neurallaplacecontrol_tpu.envs.cartpole import obs_to_state, observe
+
+    env = make_env("oderl-cartpole")  # fixed grid: both intervals = dt
+    s0, a0, sb, sn, ts = generate_irregular_data_delay_latent(
+        env, key, delay=2, samples_per_dim=3, rand=True
+    )
+    assert a0.shape[1:] == (3, 1)  # executed + 2 random (delay) actions
+    np.testing.assert_allclose(np.asarray(ts), 0.05, atol=1e-12)
+    raw0 = obs_to_state(s0)
+    step1 = observe(raw0 + 0.05 * env.rhs(raw0, a0[:, 0]))
+    np.testing.assert_allclose(np.asarray(step1), np.asarray(sb), atol=1e-8)
+    rawb = obs_to_state(sb)
+    step2 = observe(rawb + 0.05 * env.rhs(rawb, a0[:, 0]))
+    np.testing.assert_allclose(np.asarray(step2), np.asarray(sn), atol=1e-8)
+    # latent reduction path
+    s0r, a0r, sbr, snr, _ = generate_irregular_data_delay_latent(
+        env, key, delay=0, samples_per_dim=3, rand=True, latent=True
+    )
+    assert s0r.shape[-1] == 3 and snr.shape[-1] == 3
+
+
+def test_legacy_generators_executed_slot(key):
+    from neurallaplacecontrol_tpu.data import (
+        generate_irregular_data,
+        generate_irregular_data_delay,
+    )
+    from neurallaplacecontrol_tpu.envs import ORACLES, make_env
+
+    env = make_env("oderl-pendulum")
+    s0, a0, sn, ts = generate_irregular_data_delay(env, key, 2, samples_per_dim=3)
+    assert a0.shape[1:] == (3, 1)  # buffer length delay+1
+    pred = ORACLES["pendulum"](s0, a0, ts, 2)  # executed = index -(2+1) = 0
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(sn), atol=1e-10)
+    s0, a0, sn, ts = generate_irregular_data(env, key, samples_per_dim=3)
+    assert a0.ndim == 2  # flat [N, m]
+
+
+def test_df_du_matches_finite_difference(key):
+    from neurallaplacecontrol_tpu.envs import make_env
+    from neurallaplacecontrol_tpu.envs.base import df_du
+
+    for env_name, raw in [("oderl-pendulum", [0.7, 1.0]),
+                          ("oderl-cartpole", [0.1, 0.5, 2.0, -1.0]),
+                          ("oderl-acrobot", [0.2, -0.4, 0.1, 0.3])]:
+        env = make_env(env_name)
+        s = jnp.asarray(raw)
+        a = jnp.zeros((env.spec.m,)) + 0.3
+        J = df_du(env, s, a)
+        eps = 1e-6
+        for j in range(env.spec.m):
+            fd = (env.rhs(s, a.at[j].add(eps)) - env.rhs(s, a.at[j].add(-eps))) / (2 * eps)
+            np.testing.assert_allclose(np.asarray(J[:, j]), np.asarray(fd), atol=1e-5)
