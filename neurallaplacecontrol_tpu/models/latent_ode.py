@@ -204,8 +204,34 @@ def make_latent_ode_model(
         )
         return -jnp.mean(iwae)
 
+    def decoder_nfes(params, obs, action_buffer, ts):
+        """Accepted dopri5 steps for one decode — the diagnostic the
+        reference surfaces as _get_and_reset_nfes (w_latent_ode.py:207-227;
+        encoder nfe is static here: 4 Euler substeps per observation).
+        nfe = 7 * accepted steps."""
+        from ..ops.integrate import odeint_dopri5_with_stats
+
+        z_mean, _ = encode_history(
+            params,
+            jnp.broadcast_to(
+                obs[:, None, :], (obs.shape[0], action_buffer.shape[1], obs.shape[1])
+            ),
+            action_buffer[..., :action_dim],
+        )
+        t1 = jnp.reshape(ts, (-1,))[0]
+
+        def dec_rhs(z, t):
+            return mlp_apply_tanh(params["dec_ode"], z)
+
+        _, n_acc = odeint_dopri5_with_stats(
+            dec_rhs, z_mean, jnp.stack([jnp.zeros_like(t1), t1]),
+            rtol=1e-3, atol=1e-4, max_steps=_DECODER_MAX_STEPS,
+        )
+        return 7 * n_acc
+
     model = DynamicsModel(name="latent_ode", init=init, apply=apply)
     # extra entry points beyond the uniform interface
+    object.__setattr__(model, "decoder_nfes", decoder_nfes)
     object.__setattr__(model, "train_step", train_step)
     object.__setattr__(model, "encode_history", encode_history)
     object.__setattr__(model, "predict_diff", predict_diff)

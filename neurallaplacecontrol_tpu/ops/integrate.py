@@ -125,6 +125,21 @@ def odeint_dopri5(
     (latent_ode_lib/create_latent_ode_model.py:98-106: rtol 1e-3, atol 1e-4).
     """
 
+    ys, _ = _odeint_dopri5_impl(rhs, y0, ts, args, rtol, atol, max_steps)
+    return ys
+
+
+def odeint_dopri5_with_stats(rhs, y0, ts, *args, rtol=1e-3, atol=1e-4, max_steps=64):
+    """Like :func:`odeint_dopri5` but also returns per-interval accepted-step
+    counts (shape [T-1]). nfe per interval = 7 * accepted (plus rejected
+    attempts; the wall-clock cost is always 7 * max_steps). This is the
+    analog of the reference's ODEFunc nfe counter
+    (latent_ode_lib/ode_func.py:14-51, w_latent_ode._get_and_reset_nfes
+    :207-227)."""
+    return _odeint_dopri5_impl(rhs, y0, ts, args, rtol, atol, max_steps)
+
+
+def _odeint_dopri5_impl(rhs, y0, ts, args, rtol, atol, max_steps):
     def solve_interval(y_t0, interval):
         # A masked scan (not while_loop) so the solve is reverse-mode
         # differentiable: once t reaches t1 the remaining iterations become
@@ -134,7 +149,7 @@ def odeint_dopri5(
         span = t1 - t0
 
         def body(state, _):
-            t, y, h = state
+            t, y, h, n_acc = state
             done = t >= t1 - 1e-12
             h_eff = jnp.minimum(h, t1 - t)
             y_new, err = _dp_step(rhs, y, t, h_eff, *args)
@@ -154,12 +169,15 @@ def odeint_dopri5(
             h_next = jax.lax.stop_gradient(h_next)
             t = jnp.where(accept, t + h_eff, t)
             y = jnp.where(accept, y_new, y)
-            return (t, y, h_next), None
+            n_acc = n_acc + accept.astype(jnp.int32)
+            return (t, y, h_next, n_acc), None
 
         h0 = jnp.asarray(span / 8.0, dtype=y_t0.dtype)
-        (_, y_t1, _), _ = lax.scan(body, (t0, y_t0, h0), None, length=max_steps)
-        return y_t1, y_t1
+        (_, y_t1, _, n_acc), _ = lax.scan(
+            body, (t0, y_t0, h0, jnp.zeros((), jnp.int32)), None, length=max_steps
+        )
+        return y_t1, (y_t1, n_acc)
 
     intervals = jnp.stack([ts[:-1], ts[1:]], axis=-1)
-    _, ys = lax.scan(solve_interval, y0, intervals)
-    return jnp.concatenate([y0[None], ys], axis=0)
+    _, (ys, n_accs) = lax.scan(solve_interval, y0, intervals)
+    return jnp.concatenate([y0[None], ys], axis=0), n_accs

@@ -126,3 +126,33 @@ def test_latent_ode_episode_runs():
         roll_outs=16, time_steps=5,
     )
     assert np.isfinite(res["total_reward"])
+
+
+def test_dopri5_stats_and_decoder_nfes(key):
+    """odeint_dopri5_with_stats counts accepted steps; the stats-solver's
+    solution is identical to odeint_dopri5; the latent-ODE model surfaces
+    decoder nfes (w_latent_ode._get_and_reset_nfes analog)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from neurallaplacecontrol_tpu.models import make_model
+    from neurallaplacecontrol_tpu.ops.integrate import (
+        odeint_dopri5,
+        odeint_dopri5_with_stats,
+    )
+
+    rhs = lambda y, t: -y  # noqa: E731
+    y0 = jnp.ones(3)
+    ts = jnp.asarray([0.0, 0.5, 1.0])
+    ys = odeint_dopri5(rhs, y0, ts)
+    ys2, n_acc = odeint_dopri5_with_stats(rhs, y0, ts)
+    np.testing.assert_array_equal(np.asarray(ys), np.asarray(ys2))
+    assert n_acc.shape == (2,)
+    assert int(n_acc.min()) >= 1
+
+    model = make_model("latent_ode", "oderl-pendulum", 3, 1, 2.0, dtype=jnp.float64)
+    params = model.init(key)
+    obs = jnp.zeros((2, 3)).at[:, 0].set(1.0)
+    buf = jnp.zeros((2, 4, 1))
+    ts_pred = jnp.full((2, 1), 0.05)
+    nfes = model.decoder_nfes(params, obs, buf, ts_pred)
+    assert int(nfes.min()) >= 7
