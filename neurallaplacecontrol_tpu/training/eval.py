@@ -13,6 +13,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import Config
 from ..envs import make_env
@@ -42,6 +43,7 @@ def evaluate_policy(
     change_goal: bool = False,
     save_video: Optional[bool] = None,
     profile_trace_dir: Optional[str] = None,
+    shard_seeds: bool = False,
 ) -> dict:
     """Run one episode per seed; returns the reference's result dict fields
     plus per-seed returns.
@@ -112,6 +114,15 @@ def evaluate_policy(
         dynamics_carry_init=dynamics_carry_init,
     )
     keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+    if shard_seeds and len(jax.devices()) > 1 and keys.shape[0] % len(jax.devices()) == 0:
+        # spread independent seed-episodes across the chip mesh — the
+        # multi-chip replacement for the reference's 12-worker eval pool
+        # (run_exp_multi.py:144-165); XLA partitions the vmapped episode
+        # batch along the sharded key axis, no collectives needed.
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.asarray(jax.devices()), axis_names=("seeds",))
+        keys = jax.device_put(keys, NamedSharding(mesh, P("seeds")))
 
     t0 = time.perf_counter()
     with profile_trace(profile_trace_dir):

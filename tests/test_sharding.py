@@ -112,3 +112,16 @@ def test_k_sharded_mppi_matches_single_chip():
     np.testing.assert_allclose(np.asarray(a_sh), np.asarray(a_ref), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(U_sh), np.asarray(U_ref), rtol=1e-8)
     del noise
+
+
+def test_seed_sharded_eval_matches_unsharded():
+    """shard_seeds spreads the episode batch over the 8 virtual devices and
+    must give byte-identical per-seed returns (episodes are key-deterministic)."""
+    from neurallaplacecontrol_tpu.config import Config
+    from neurallaplacecontrol_tpu.training import evaluate_policy
+
+    cfg = Config(dt=0.5)  # 20-step episodes for CPU speed
+    kw = dict(seeds=range(8), config=cfg, roll_outs=16, time_steps=4)
+    a = evaluate_policy("oracle", "oderl-pendulum", 0, **kw)
+    b = evaluate_policy("oracle", "oderl-pendulum", 0, shard_seeds=True, **kw)
+    np.testing.assert_allclose(a["total_rewards"], b["total_rewards"], rtol=1e-12)
