@@ -32,6 +32,24 @@ REFERENCE_BASELINES = {
 }
 
 
+def mean_confidence_interval(data, confidence: float = 0.95):
+    """(mean, half-width) Student-t interval
+    (process_logs.mean_confidence_interval)."""
+    a = np.asarray(data, dtype=float)
+    n = a.size
+    m = float(np.mean(a))
+    if n < 2:
+        return m, 0.0
+    se = float(np.std(a, ddof=1)) / np.sqrt(n)
+    try:
+        from scipy import stats
+
+        h = se * float(stats.t.ppf((1 + confidence) / 2.0, n - 1))
+    except ImportError:  # normal approximation fallback
+        h = se * 1.96
+    return m, h
+
+
 def expand_records(records: Iterable[dict]) -> list:
     """evaluate_policy returns one record per task with per-seed rewards;
     expand to one row per (task, seed)."""

@@ -133,8 +133,11 @@ def evaluate_policy(
     video_path = None
     if config.save_video if save_video is None else save_video:
         # first seed's episode only (mppi_with_model.py:282-285)
+        import os
+
         from ..envs.render import render_episode, save_video as _save
 
+        os.makedirs(config.log_folder, exist_ok=True)
         first = jax.tree_util.tree_map(lambda x: x[0], records)
         frames = render_episode(env, first)
         video_path = _save(

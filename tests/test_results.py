@@ -1,0 +1,62 @@
+"""Results processing: normalized scores, LaTeX table, confidence interval
+(reference process_results/process_logs.py:145-233, plot_util.py)."""
+
+import numpy as np
+
+from neurallaplacecontrol_tpu.results.process import (
+    REFERENCE_BASELINES,
+    latex_table,
+    mean_confidence_interval,
+    normalized_scores,
+)
+
+
+def _records():
+    return [
+        {"env_name": "oderl-pendulum", "model_name": "random", "delay": 0,
+         "seeds": [0, 1], "total_rewards": [-600.0, -620.0]},
+        {"env_name": "oderl-pendulum", "model_name": "oracle", "delay": 0,
+         "seeds": [0, 1], "total_rewards": [-120.0, -122.0]},
+        {"env_name": "oderl-pendulum", "model_name": "nl", "delay": 0,
+         "seeds": [0, 1], "total_rewards": [-140.0, -900.0]},
+    ]
+
+
+def test_normalized_scores_definition():
+    scores = normalized_scores(_records())
+    # oracle normalizes to 100; random to ~0 — but clipping is per-seed
+    # (process_logs.py:188), so the below-mean random seed clips to 0 and
+    # the mean is half the above-mean seed's score
+    assert abs(scores[(0, "oderl-pendulum", "oracle")][0] - 100.0) < 1e-9
+    r_rand_score = 100.0 * (-600.0 - (-610.0)) / (-121.0 - (-610.0))
+    assert abs(scores[(0, "oderl-pendulum", "random")][0] - r_rand_score / 2.0) < 1e-9
+    # nl seed 1 (-900) is below random -> clipped to 0 (process_logs.py:188)
+    mean_clip = scores[(0, "oderl-pendulum", "nl")][0]
+    r_rand, r_orac = -610.0, -121.0
+    s0 = 100.0 * (-140.0 - r_rand) / (r_orac - r_rand)
+    assert abs(mean_clip - (s0 + 0.0) / 2.0) < 1e-9
+    unclipped = normalized_scores(_records(), clip=False)
+    assert unclipped[(0, "oderl-pendulum", "nl")][0] < mean_clip
+
+
+def test_reference_baseline_fallback():
+    recs = [{"env_name": "oderl-cartpole", "model_name": "nl", "delay": 1,
+             "seeds": [0], "total_rewards": [-146.26]}]
+    scores = normalized_scores(recs)
+    # exactly the reference oracle return -> 100 against plot_util constants
+    r_rand, r_orac = REFERENCE_BASELINES[1]["oderl-cartpole"]
+    expect = 100.0 * (-146.26 - r_rand) / (r_orac - r_rand)
+    assert abs(scores[(1, "oderl-cartpole", "nl")][0] - expect) < 1e-9
+
+
+def test_latex_table_renders():
+    tex = latex_table(_records())
+    assert "\\begin{tabular}" in tex and "nl" in tex and "\\pm" in tex
+
+
+def test_mean_confidence_interval():
+    m, h = mean_confidence_interval([1.0, 2.0, 3.0, 4.0])
+    assert abs(m - 2.5) < 1e-12
+    assert 1.5 < h < 2.5  # t-interval for n=4, std 1.29
+    m1, h1 = mean_confidence_interval([5.0])
+    assert m1 == 5.0 and h1 == 0.0
