@@ -125,3 +125,27 @@ def test_seed_sharded_eval_matches_unsharded():
     a = evaluate_policy("oracle", "oderl-pendulum", 0, **kw)
     b = evaluate_policy("oracle", "oderl-pendulum", 0, shard_seeds=True, **kw)
     np.testing.assert_allclose(a["total_rewards"], b["total_rewards"], rtol=1e-12)
+
+
+def test_orbax_sharded_checkpoint_roundtrip(tmp_path):
+    """Save a tp-sharded params pytree with orbax and restore it directly
+    onto the mesh placement."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from neurallaplacecontrol_tpu.parallel.sharding import make_mesh
+    from neurallaplacecontrol_tpu.utils.checkpoint import load_sharded, save_sharded
+
+    mesh = make_mesh(8, tp=2)
+    params = {
+        "w": jnp.arange(16.0 * 8).reshape(16, 8),
+        "b": jnp.arange(8.0),
+    }
+    shardings = {
+        "w": NamedSharding(mesh, P(None, "tp")),
+        "b": NamedSharding(mesh, P()),
+    }
+    sharded = jax.tree_util.tree_map(jax.device_put, params, shardings)
+    path = save_sharded(tmp_path / "ckpt", sharded)
+    restored = load_sharded(path, shardings=shardings)
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.asarray(params["w"]))
+    assert restored["w"].sharding.spec == P(None, "tp")
