@@ -32,6 +32,29 @@ REFERENCE_BASELINES = {
 }
 
 
+def parse_log_file(path) -> list:
+    """Extract result dicts from '[Model Completed evaluation mppi] {...}'
+    log lines (the reference's log-as-database flow,
+    process_logs.py:145-157). Works on logs from this driver and from the
+    reference's run_exp_multi."""
+    import ast
+
+    marker = "[Model Completed evaluation mppi]"
+    records = []
+    with open(path) as f:
+        for line in f:
+            if marker not in line:
+                continue
+            payload = line.split(marker, 1)[1].strip()
+            try:
+                rec = ast.literal_eval(payload)
+            except (ValueError, SyntaxError):
+                continue
+            if isinstance(rec, dict):
+                records.append(rec)
+    return records
+
+
 def mean_confidence_interval(data, confidence: float = 0.95):
     """(mean, half-width) Student-t interval
     (process_logs.mean_confidence_interval)."""

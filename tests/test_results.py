@@ -60,3 +60,18 @@ def test_mean_confidence_interval():
     assert 1.5 < h < 2.5  # t-interval for n=4, std 1.29
     m1, h1 = mean_confidence_interval([5.0])
     assert m1 == 5.0 and h1 == 0.0
+
+
+def test_parse_log_file(tmp_path):
+    from neurallaplacecontrol_tpu.results.process import parse_log_file
+
+    log = tmp_path / "run.log"
+    log.write_text(
+        "08:00:00 INFO training stuff\n"
+        "08:01:00 INFO [Model Completed evaluation mppi] "
+        "{'model_name': 'nl', 'env_name': 'oderl-pendulum', 'delay': 0, "
+        "'total_reward': -130.0, 'total_reward_std': 4.0}\n"
+        "08:02:00 INFO [Model Completed evaluation mppi] not-a-dict\n"
+    )
+    recs = parse_log_file(log)
+    assert len(recs) == 1 and recs[0]["total_reward"] == -130.0
