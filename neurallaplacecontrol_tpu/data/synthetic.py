@@ -111,6 +111,13 @@ def _generate(env: Env, key: jax.Array, samples_per_dim: int, rounds: int,
     buf = (jax.random.uniform(k_buf, (N, action_buffer_size, m)) - 0.5) * 2.0 * a_high
     buf = buf.at[:, -(delay + 1)].set(a0)
     if encode_obs_time:
+        # REFERENCE QUIRK preserved for parity: synthetic ages are integer
+        # step counts flip(arange(A)) (overlay.py:722-731), while the
+        # collector and planner encode ages in SECONDS (flip(arange(A))*dt,
+        # advanced by the realized interval; mppi_dataset_collector.py:
+        # 231-233, mppi_delay.py:279-281). encode_obs_time models should
+        # therefore train on expert trajectories (the default), whose age
+        # units match the planner's.
         ages = jnp.flip(jnp.arange(action_buffer_size, dtype=buf.dtype))
         ages = jnp.broadcast_to(ages[None, :, None], (N, action_buffer_size, 1))
         buf = jnp.concatenate([buf, ages], axis=2)

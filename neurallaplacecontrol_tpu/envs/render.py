@@ -112,15 +112,17 @@ def render_frame(env_name: str, raw_state, last_act=None) -> np.ndarray:
     raise ValueError(f"No renderer for env {env_name}")
 
 
-def render_episode(env, records, max_frames: int = 200) -> list:
+def render_episode(env, records, max_frames: int = 200, delay: int = 0) -> list:
     """Render recorded episode observations (EpisodeRecords) to RGB frames.
 
     ``records.s0`` holds trig observations; they are mapped back to raw
-    states with env.obs_to_state (base_env.obs2state:289-295).
+    states with env.obs_to_state (base_env.obs2state:289-295). The force
+    arrow shows the EXECUTED action — buffer slot -(delay+1), not the
+    newest (just-planned) entry.
     """
     s0 = np.asarray(records.s0)[:max_frames]
     raws = np.asarray(env.obs_to_state(s0))
-    acts = np.asarray(records.a0)[:max_frames, -1]
+    acts = np.asarray(records.a0)[:max_frames, -(delay + 1), : env.spec.m]
     return [
         render_frame(env.spec.name, raws[i], last_act=acts[i])
         for i in range(raws.shape[0])

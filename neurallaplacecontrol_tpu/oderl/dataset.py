@@ -41,11 +41,15 @@ class Dataset(NamedTuple):
         )
 
 
-def rbf_kernel(x1, x2, ell=1.0, sf=1.0, eps=1e-5):
-    """sf^2 exp(-0.5 |x1-x2|^2/ell^2) + eps I (utils/utils.py:72-77)."""
+def rbf_kernel(x1, x2, ell=1.0, sf=1.0, eps=1e-5, jitter=False):
+    """sf^2 exp(-0.5 |x1-x2|^2/ell^2), plus eps I on self-kernels
+    (utils/utils.py:72-77). ``jitter`` must be set explicitly by the caller
+    for the K(X, X) case — keying it off matching point counts (as the
+    reference does) corrupts cross-covariances whenever Q happens to equal
+    T."""
     d = (x1[..., :, None, :] - x2[..., None, :, :]) / ell
     Km = sf**2 * jnp.exp(-0.5 * jnp.sum(d * d, axis=-1))
-    if x1.shape[-2] == x2.shape[-2]:
+    if jitter:
         Km = Km + jnp.eye(x1.shape[-2]) * eps
     return Km
 
@@ -55,9 +59,9 @@ def kernel_interpolate(ts, ys, query_t, ell=0.5, sf=1.0, eps=1e-5):
     (utils/utils.py KernelInterpolation:148-170): given knots (ts [T], ys
     [T,m]) return values at query_t [Q] -> [Q,m]."""
     X = ts[:, None]
-    Kxx = rbf_kernel(X, X, ell, sf, eps)
+    Kxx = rbf_kernel(X, X, ell, sf, eps, jitter=True)
     alpha = jnp.linalg.solve(Kxx, ys)
-    kqx = rbf_kernel(query_t[:, None], X, ell, sf, eps)
+    kqx = rbf_kernel(query_t[:, None], X, ell, sf)
     return kqx @ alpha
 
 
@@ -67,7 +71,7 @@ def make_kernel_interpolate_policy(ts, at, ell=0.5, sf=1.0) -> Callable:
     actions at a (traced) scalar time t."""
     N = at.shape[0]
     X = ts[..., None]  # [N,T,1]
-    Kxx = rbf_kernel(X, X, ell, sf)
+    Kxx = rbf_kernel(X, X, ell, sf, jitter=True)
     alpha = jnp.linalg.solve(Kxx, at)  # [N,T,m]
 
     def g(s, t):
@@ -82,7 +86,7 @@ def make_kernel_interpolate_policy(ts, at, ell=0.5, sf=1.0) -> Callable:
 def draw_from_gp(key, ts, n_out=1, ell=0.5, sf=1.0, eps=1e-5):
     """One GP-prior draw over the time grid (ctrl/utils.py:520-528):
     cholesky(K) @ normal -> [T, n_out]."""
-    cov = rbf_kernel(ts[:, None], ts[:, None], ell, sf, eps)
+    cov = rbf_kernel(ts[:, None], ts[:, None], ell, sf, eps, jitter=True)
     L = jnp.linalg.cholesky(cov)
     return L @ jax.random.normal(key, (ts.shape[0], n_out))
 

@@ -110,7 +110,9 @@ def _sample_segments(D: Dataset, key, n_seg: int, W: int):
     """Random (trajectory, start) sub-windows of length W+1."""
     k1, k2 = jax.random.split(key)
     traj = jax.random.randint(k1, (n_seg,), 0, D.N)
-    start = jax.random.randint(k2, (n_seg,), 0, D.T - W - 1)
+    # start may reach D.T - 1 - W so the window [start, start+W] can cover
+    # the trajectory tail (maxval is exclusive)
+    start = jax.random.randint(k2, (n_seg,), 0, max(1, D.T - W))
     idx = start[:, None] + jnp.arange(W + 1)[None]
     return (
         D.s[traj[:, None], idx],

@@ -220,9 +220,11 @@ def mppi_command(
             window, t = xs
             dyn_carry, state, ages, cost_var = carry
             ages = step_ages(ages)
-            dyn_carry, state = dynamics_fn(
-                dyn_carry, state, tile_window(augment_window(window, ages))
-            )
+            w = tile_window(augment_window(window, ages))
+            if cfg.step_dependent_dynamics:
+                dyn_carry, state = dynamics_fn(dyn_carry, state, w, t)
+            else:
+                dyn_carry, state = dynamics_fn(dyn_carry, state, w)
             c = running_cost_fn(state, tile_window(window)[:, -1, :])
             c, cost_var = cost_stats(c, t, cost_var)
             return (dyn_carry, state, ages, cost_var), (c, state)

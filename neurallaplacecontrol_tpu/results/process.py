@@ -49,7 +49,18 @@ def parse_log_file(path) -> list:
             try:
                 rec = ast.literal_eval(payload)
             except (ValueError, SyntaxError):
-                continue
+                # literal_eval rejects nan/inf reprs — a DIVERGED run must
+                # still appear in the results, not silently vanish
+                if not payload.startswith("{"):
+                    continue
+                try:
+                    rec = eval(  # noqa: S307 — builtins stripped, names pinned
+                        payload,
+                        {"__builtins__": {}},
+                        {"nan": float("nan"), "inf": float("inf")},
+                    )
+                except Exception:
+                    continue
             if isinstance(rec, dict):
                 records.append(rec)
     return records

@@ -139,7 +139,7 @@ def evaluate_policy(
 
         os.makedirs(config.log_folder, exist_ok=True)
         first = jax.tree_util.tree_map(lambda x: x[0], records)
-        frames = render_episode(env, first)
+        frames = render_episode(env, first, delay=action_delay)
         video_path = _save(
             frames,
             f"{config.log_folder}/{model_name}_{env_name}_d{action_delay}.gif",

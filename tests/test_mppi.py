@@ -193,3 +193,32 @@ def test_step_dependent_dynamics_and_u_per_command(key):
     assert action.shape == (2, 1)  # u_per_command leading actions
     # states: 0, 1, 3, 6 -> cost 10
     np.testing.assert_allclose(np.asarray(aux["cost_total"]), 10.0, atol=1e-9)
+
+
+def test_step_dependent_carried_dynamics(key):
+    """step_dependent_dynamics must reach the carried-dynamics branch too
+    (regression: the t index was silently dropped)."""
+    K, T = 2, 3
+    cfg = MPPIConfig(
+        num_samples=K, horizon=T, nu=1, u_scale=1.0, u_min=-9.0, u_max=9.0,
+        step_dependent_dynamics=True,
+    )
+    params = make_mppi_params(jnp.asarray([[1e-18]], dtype=jnp.float64))
+
+    def carry_init(state0):
+        return jnp.zeros_like(state0)
+
+    def dynamics(carry, state, window, t):
+        carry = carry + 1.0
+        return carry, state + t.astype(state.dtype) + carry[:, :1] * 0.0
+
+    def cost_fn(state, action):
+        return state[:, 0]
+
+    U = jnp.zeros((T, 1), dtype=jnp.float64)
+    obs = jnp.zeros((1,), dtype=jnp.float64)
+    buf = jnp.zeros((4, 1), dtype=jnp.float64)
+    _, _, aux = mppi_command(cfg, params, dynamics, cost_fn, U, obs, buf, key,
+                             dynamics_carry_init=carry_init)
+    # states: 0, 1, 3 -> cost 4
+    np.testing.assert_allclose(np.asarray(aux["cost_total"]), 4.0, atol=1e-9)

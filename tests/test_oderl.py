@@ -280,3 +280,17 @@ def test_train_dynamics_and_policy_smoke(key):
                                    N=8, L=2, substeps=2, log_every=0)
     assert np.all(np.isfinite(rewards))
     assert not np.allclose(np.asarray(g_before), np.asarray(params["g"][0]["W"]))
+
+
+def test_rbf_cross_kernel_has_no_jitter():
+    """Regression: cross-covariances between DISTINCT point sets of equal
+    size must not receive the eps*I self-jitter."""
+    from neurallaplacecontrol_tpu.oderl.dataset import rbf_kernel
+
+    X = jnp.linspace(0.0, 1.0, 5)[:, None]
+    Q = X + 0.3
+    Km = rbf_kernel(Q, X, ell=0.5, sf=1.0)
+    expect = jnp.exp(-0.5 * ((Q - X.T) / 0.5) ** 2)
+    np.testing.assert_allclose(np.asarray(Km), np.asarray(expect), rtol=1e-12)
+    K_self = rbf_kernel(X, X, ell=0.5, sf=1.0, eps=1e-5, jitter=True)
+    np.testing.assert_allclose(np.asarray(jnp.diag(K_self)), 1.0 + 1e-5, rtol=1e-10)

@@ -75,3 +75,18 @@ def test_parse_log_file(tmp_path):
     )
     recs = parse_log_file(log)
     assert len(recs) == 1 and recs[0]["total_reward"] == -130.0
+
+
+def test_parse_log_file_keeps_nan_records(tmp_path):
+    """Diverged runs (nan rewards) must still be parsed, not dropped."""
+    from neurallaplacecontrol_tpu.results.process import parse_log_file
+
+    log = tmp_path / "run.log"
+    log.write_text(
+        "08:01:00 INFO [Model Completed evaluation mppi] "
+        "{'model_name': 'nl', 'env_name': 'oderl-pendulum', 'delay': 0, "
+        "'total_reward': nan, 'total_reward_std': inf}\n"
+    )
+    recs = parse_log_file(log)
+    assert len(recs) == 1
+    assert np.isnan(recs[0]["total_reward"]) and np.isinf(recs[0]["total_reward_std"])
