@@ -22,3 +22,18 @@ Reference layer map: see SURVEY.md at the repo root. Citations in docstrings
 __version__ = "0.1.0"
 
 from . import ops, envs, models, planners, data, training, parallel, utils  # noqa: F401,E402
+from .config import Config, parse_args  # noqa: F401,E402
+from .envs import make_env  # noqa: F401,E402
+from .models import make_model  # noqa: F401,E402
+from .training import evaluate_policy, train_model  # noqa: F401,E402
+
+# heavier sub-stacks import lazily on attribute access
+_LAZY = {"oderl", "results"}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
