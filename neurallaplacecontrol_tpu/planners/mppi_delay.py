@@ -147,13 +147,17 @@ def mppi_command(
     else:
         action_cost = cfg.lambda_ * noise @ params.noise_sigma_inv
 
-    # 3. sliding action windows with prepended history (:256-277)
+    # 3. sliding action windows with prepended history (:256-277). The
+    # window at step t is sliced out of ``full`` inside the scan — a
+    # pre-gathered [T, K, A, nu] tensor would cost A x the HBM footprint of
+    # the action sequences and starts spilling at the K~10^5 regime the
+    # reference sweep contemplates (mppi_optim.yaml:12).
     scaled = perturbed * cfg.u_scale  # [K, T, nu] env units
     hist = jnp.broadcast_to(action_buffer[1:][None], (K, A - 1, nu))
     full = jnp.concatenate([hist, scaled], axis=1)  # [K, A-1+T, nu]
-    idx = jnp.arange(T)[:, None] + jnp.arange(A)[None, :]  # [T, A]
-    windows = full[:, idx, :]  # [K, T, A, nu]
-    windows = jnp.swapaxes(windows, 0, 1)  # [T, K, A, nu]
+
+    def window_at(t):
+        return lax.dynamic_slice_in_dim(full, t, A, axis=1)  # [K, A, nu]
 
     # 4. rollout (:271-296) as one scan over the horizon. With M > 1 the
     # batch fed to the dynamics is M*K (closures are batch-size-agnostic);
@@ -198,26 +202,33 @@ def mppi_command(
 
     var0 = jnp.zeros((K,), state0.dtype)
     tidx = jnp.arange(T)
+    # per-step states are only materialized when a terminal cost consumes
+    # them — recording [T, M*K, nx] through the scan costs an HBM write per
+    # step that matters at large K
+    record_states = terminal_state_cost is not None
+
+    def outputs(c, state):
+        return (c, state) if record_states else (c, None)
 
     if dynamics_carry_init is None:
 
-        def rollout_step(carry, xs):
-            window, t = xs
+        def rollout_step(carry, t):
+            window = window_at(t)
             state, ages, cost_var = carry
             ages = step_ages(ages)
             state = call_dynamics(state, tile_window(augment_window(window, ages)), t)
             u = tile_window(window)[:, -1, :]  # current executed action (:288)
             c = running_cost_fn(state, u)
             c, cost_var = cost_stats(c, t, cost_var)
-            return (state, ages, cost_var), (c, state)
+            return (state, ages, cost_var), outputs(c, state)
 
         (_, _, cost_var), (costs, states) = lax.scan(
-            rollout_step, (state0, ages0, var0), (windows, tidx)
+            rollout_step, (state0, ages0, var0), tidx
         )
     else:
 
-        def rollout_step_carried(carry, xs):
-            window, t = xs
+        def rollout_step_carried(carry, t):
+            window = window_at(t)
             dyn_carry, state, ages, cost_var = carry
             ages = step_ages(ages)
             w = tile_window(augment_window(window, ages))
@@ -227,20 +238,21 @@ def mppi_command(
                 dyn_carry, state = dynamics_fn(dyn_carry, state, w)
             c = running_cost_fn(state, tile_window(window)[:, -1, :])
             c, cost_var = cost_stats(c, t, cost_var)
-            return (dyn_carry, state, ages, cost_var), (c, state)
+            return (dyn_carry, state, ages, cost_var), outputs(c, state)
 
         (_, _, _, cost_var), (costs, states) = lax.scan(
             rollout_step_carried,
             (dynamics_carry_init(state0), state0, ages0, var0),
-            (windows, tidx),
+            tidx,
         )
     cost_total = jnp.sum(costs, axis=0)  # [K]
 
     if terminal_state_cost is not None:
         # states: [T, M*K, nx] -> per-M [K, T, nx]; actions [K, T, nu]
         # (:306-308); with M > 1 the terminal cost averages over the M
-        # trajectory samples like the running cost.
-        acts = jnp.swapaxes(windows[..., -1, :], 0, 1)
+        # trajectory samples like the running cost. full[:, t+A-1] is the
+        # step-t action, i.e. the scaled sequence itself.
+        acts = scaled
         states_m = states.reshape(T, M, K, states.shape[-1])
         term = jax.vmap(
             lambda s: terminal_state_cost(jnp.swapaxes(s, 0, 1), acts), in_axes=1
