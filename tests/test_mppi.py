@@ -222,3 +222,22 @@ def test_step_dependent_carried_dynamics(key):
                              dynamics_carry_init=carry_init)
     # states: 0, 1, 3 -> cost 4
     np.testing.assert_allclose(np.asarray(aux["cost_total"]), 4.0, atol=1e-9)
+
+
+def test_rollout_states_visualization(key):
+    """mppi_rollout_states (reference get_rollouts :358-381): rolling the
+    mean plan U through a known linear dynamics gives the analytic states."""
+    from neurallaplacecontrol_tpu.planners import mppi_rollout_states
+
+    cfg = MPPIConfig(num_samples=4, horizon=3, nu=1, u_scale=2.0, u_min=-9.0, u_max=9.0)
+
+    def dynamics(state, window):
+        return state + window[:, -1, :]  # integrate the current action
+
+    U = jnp.asarray([[0.5], [1.0], [-0.5]], dtype=jnp.float64)
+    obs = jnp.zeros((1,), dtype=jnp.float64)
+    buf = jnp.zeros((4, 1), dtype=jnp.float64)
+    states = mppi_rollout_states(cfg, dynamics, obs, U, buf, num_rollouts=2)
+    assert states.shape == (2, 3, 1)
+    # scaled actions 1.0, 2.0, -1.0 -> cumulative states 1, 3, 2
+    np.testing.assert_allclose(np.asarray(states[0, :, 0]), [1.0, 3.0, 2.0], atol=1e-12)
