@@ -87,12 +87,44 @@ def _gru_cell(p, h, x):
     return (1.0 - z) * n + z * h
 
 
-def gru_apply(params, xs):
+def gru_apply(params, xs, unroll_limit: int = 8):
     """Run a (possibly multi-layer) GRU over ``xs`` [B, T, D].
 
     Returns the last-layer hidden state at the final timestep [B, H].
+
+    For short static sequences (T <= unroll_limit — the action buffer is
+    length 4) the recurrence is unrolled in Python and the input-side
+    projections of each layer run as ONE [B, T, D] x [D, 3H] matmul instead
+    of T scan steps; only the h @ w_hh chain stays sequential. This keeps
+    the hidden state fused across steps instead of round-tripping a stacked
+    [T, B, H] through HBM per layer — the GRU was ~75% of the NL forward at
+    planner batch sizes before this.
     """
-    B = xs.shape[0]
+    B, T = xs.shape[0], xs.shape[1]
+    if T <= unroll_limit:
+        layer_in = xs
+        h = None
+        for li, p in enumerate(params):
+            hidden = p["w_hh"].shape[0]
+            gi_all = layer_in @ p["w_ih"] + p["b_ih"]  # [B, T, 3H]
+            h = jnp.zeros((B, hidden), dtype=xs.dtype)
+            outs = []
+            last_layer = li == len(params) - 1
+            for t in range(T):
+                gi = gi_all[:, t]
+                gh = h @ p["w_hh"] + p["b_hh"]
+                i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+                h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+                r = jax.nn.sigmoid(i_r + h_r)
+                z = jax.nn.sigmoid(i_z + h_z)
+                n = jnp.tanh(i_n + r * h_n)
+                h = (1.0 - z) * n + z * h
+                if not last_layer:
+                    outs.append(h)
+            if not last_layer:
+                layer_in = jnp.stack(outs, axis=1)
+        return h
+
     h_seq = xs
     for p in params:
         hidden = p["w_hh"].shape[0]
