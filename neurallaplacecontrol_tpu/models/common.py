@@ -102,28 +102,19 @@ def gru_apply(params, xs, unroll_limit: int = 8):
     """
     B, T = xs.shape[0], xs.shape[1]
     if T <= unroll_limit:
-        layer_in = xs
-        h = None
-        for li, p in enumerate(params):
-            hidden = p["w_hh"].shape[0]
-            gi_all = layer_in @ p["w_ih"] + p["b_ih"]  # [B, T, 3H]
-            h = jnp.zeros((B, hidden), dtype=xs.dtype)
-            outs = []
-            last_layer = li == len(params) - 1
-            for t in range(T):
-                gi = gi_all[:, t]
-                gh = h @ p["w_hh"] + p["b_hh"]
-                i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
-                h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
-                r = jax.nn.sigmoid(i_r + h_r)
-                z = jax.nn.sigmoid(i_z + h_z)
-                n = jnp.tanh(i_n + r * h_n)
-                h = (1.0 - z) * n + z * h
-                if not last_layer:
-                    outs.append(h)
-            if not last_layer:
-                layer_in = jnp.stack(outs, axis=1)
-        return h
+        # step-synchronous stacked layers: at each step the layer chain runs
+        # bottom-up on that step's input, so no [B, T, 3H] projection or
+        # [T, B, H] layer output is ever materialized — peak live tensor is
+        # one [B, 3H] gate block and the per-layer [B, H] carries
+        hs = [
+            jnp.zeros((B, p["w_hh"].shape[0]), dtype=xs.dtype) for p in params
+        ]
+        for t in range(T):
+            x = xs[:, t]
+            for li, p in enumerate(params):
+                hs[li] = _gru_cell(p, hs[li], x)
+                x = hs[li]
+        return hs[-1]
 
     h_seq = xs
     for p in params:
