@@ -164,6 +164,9 @@ def train_model(
     epoch_losses = []
     compiled = set()
     stop = False
+    total_iters = 0
+    next_eval = config.iters_per_evaluation
+    eval_rewards = []
 
     for epoch_i in range(config.training_epochs):
         data_key, k_data, k_perm = jax.random.split(data_key, 3)
@@ -210,6 +213,24 @@ def train_model(
                 best_loss = track_loss
                 with timer.exclude():
                     save_pytree(ckpt_path, params)
+            # mid-training policy evaluation every iters_per_evaluation
+            # update steps (train_utils.py:450-459; default never fires),
+            # excluded from the wall-clock budget like compile time
+            total_iters += seg_len
+            if total_iters >= next_eval:
+                next_eval += config.iters_per_evaluation
+                with timer.exclude():
+                    from .eval import evaluate_policy
+
+                    r = evaluate_policy(
+                        model_name, env_name, delay, seeds=[0], config=config,
+                        model_apply=model.apply, params=params,
+                    )
+                eval_rewards.append(r["total_reward"])
+                logger.info(
+                    "[%s %s d=%d] mid-train eval total_reward=%.1f",
+                    env_name, model_name, delay, r["total_reward"],
+                )
             if budget is not None and elapsed > budget:
                 logger.info("[%s %s d=%d] Ending training (budget)", env_name, model_name, delay)
                 stop = True
@@ -224,7 +245,8 @@ def train_model(
         "best_val_loss": best_loss,
         "epoch_losses": epoch_losses,
         "n_params": n_params,
-        "total_reward": None,
+        "total_reward": eval_rewards[-1] if eval_rewards else None,
+        "eval_rewards": eval_rewards,
         "train_seconds": timer.elapsed(),
     }
     return model, params, results

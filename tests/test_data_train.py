@@ -220,3 +220,27 @@ def test_df_du_matches_finite_difference(key):
         for j in range(env.spec.m):
             fd = (env.rhs(s, a.at[j].add(eps)) - env.rhs(s, a.at[j].add(-eps))) / (2 * eps)
             np.testing.assert_allclose(np.asarray(J[:, j]), np.asarray(fd), atol=1e-5)
+
+
+def test_mid_training_evaluation(tmp_path):
+    """iters_per_evaluation triggers policy evals during training
+    (train_utils.py:450-459) and records their returns."""
+    cfg = Config(
+        train_with_expert_trajectories=False,
+        train_samples_per_dim=3,
+        iters_per_log=50,
+        iters_per_evaluation=100,
+        training_epochs=2,
+        end_training_after_seconds=None,
+        saved_models_path=str(tmp_path) + "/",
+        mppi_roll_outs=8,
+        mppi_time_steps=3,
+        dt=0.5,  # 20-step eval episodes
+    )
+    _, _, res = train_model(
+        "delta_t_rnn", "oderl-pendulum", cfg, delay=0,
+        retrain=True, force_retrain=True,
+    )
+    assert len(res["eval_rewards"]) >= 1
+    assert np.isfinite(res["eval_rewards"][0])
+    assert res["total_reward"] == res["eval_rewards"][-1]
