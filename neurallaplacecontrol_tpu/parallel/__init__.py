@@ -7,3 +7,4 @@ from .sharding import (  # noqa: F401
     make_sharded_train_step,
     make_k_sharded_mppi_command,
 )
+from .multihost import initialize, process_slice, global_mesh  # noqa: F401

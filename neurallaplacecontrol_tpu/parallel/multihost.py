@@ -1,0 +1,61 @@
+"""Multi-host orchestration over DCN.
+
+The reference's outer experiment grid fans out over a local process pool
+(run_exp_multi.py:103-165). On a TPU pod slice the equivalent is
+single-controller multi-host JAX: every host runs the same program,
+`jax.distributed.initialize` wires the hosts over DCN, compute shards over
+the global device mesh on ICI, and the embarrassingly-parallel outer grid
+(seeds, tasks) splits by process index — no inter-host communication beyond
+what XLA's collectives need (SURVEY.md §2.4/§5).
+
+Single-host processes (the common case, and all tests) pass through these
+helpers unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Wire up multi-host JAX (no-op when already initialized or single
+    host). On Cloud TPU the arguments are auto-detected from the
+    environment; pass them explicitly elsewhere."""
+    if jax.process_count() > 1:
+        return  # already distributed
+    if coordinator_address is None and num_processes is None:
+        return  # single host, nothing to do
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def process_slice(items: Sequence, process_id: Optional[int] = None,
+                  process_count: Optional[int] = None) -> list:
+    """This host's share of an embarrassingly-parallel work list (seed grid,
+    task grid) — the DCN replacement for the reference's Pool fan-out.
+    Round-robin so uneven lists stay balanced."""
+    pid = jax.process_index() if process_id is None else process_id
+    n = jax.process_count() if process_count is None else process_count
+    return [x for i, x in enumerate(items) if i % n == pid]
+
+
+def global_mesh(axis_names=("dp",), shape: Optional[tuple] = None):
+    """A mesh over ALL devices of all hosts (ICI within a host/slice, DCN
+    across). Default is one flat data-parallel axis; pass ``shape`` to
+    factor it (e.g. (n_hosts, devices_per_host) for ("dp", "tp"))."""
+    from jax.experimental import mesh_utils
+    from jax.sharding import Mesh
+
+    n = len(jax.devices())
+    shape = shape or (n,)
+    assert int(np.prod(shape)) == n, (shape, n)
+    devices = mesh_utils.create_device_mesh(shape)
+    return Mesh(devices, axis_names=axis_names[: len(shape)])

@@ -149,3 +149,21 @@ def test_orbax_sharded_checkpoint_roundtrip(tmp_path):
     restored = load_sharded(path, shardings=shardings)
     np.testing.assert_array_equal(np.asarray(restored["w"]), np.asarray(params["w"]))
     assert restored["w"].sharding.spec == P(None, "tp")
+
+
+def test_multihost_helpers_single_process():
+    """Single-process passthrough behavior of the multi-host helpers; the
+    global mesh covers all 8 virtual devices."""
+    from neurallaplacecontrol_tpu.parallel.multihost import (
+        global_mesh,
+        initialize,
+        process_slice,
+    )
+
+    initialize()  # no-op on a single host
+    assert process_slice(list(range(7))) == list(range(7))
+    # simulated 3-process round-robin split covers everything exactly once
+    parts = [process_slice(list(range(7)), pid, 3) for pid in range(3)]
+    assert sorted(sum(parts, [])) == list(range(7))
+    mesh = global_mesh(("dp", "tp"), shape=(4, 2))
+    assert mesh.devices.shape == (4, 2)
