@@ -36,8 +36,14 @@ def _rbuf_path(path) -> str:
 
 def save_replay_buffer(path, s0, a0, sn, ts) -> None:
     """Write the portable .npz plus, when the native runtime is available,
-    the mmap-able .rbuf sibling (runtime/replaybuf.cc) that loads O(1)."""
+    the mmap-able .rbuf sibling (runtime/replaybuf.cc) that loads O(1).
+
+    A pre-existing .rbuf is removed FIRST so that a failed (or unavailable)
+    native write can never leave a stale sibling silently shadowing the
+    fresh .npz on the next load."""
     Path(path).parent.mkdir(parents=True, exist_ok=True)
+    rb_path = Path(_rbuf_path(path))
+    rb_path.unlink(missing_ok=True)
     np.savez_compressed(
         path,
         s0=np.asarray(s0),
@@ -47,7 +53,26 @@ def save_replay_buffer(path, s0, a0, sn, ts) -> None:
     )
     from .. import runtime
 
-    runtime.write_buffer(_rbuf_path(path), s0, a0, sn, ts)
+    ok = runtime.write_buffer(str(rb_path), s0, a0, sn, ts)
+    if not ok:
+        rb_path.unlink(missing_ok=True)
+
+
+def _npz_metadata(path):
+    """(shapes, dtypes) per array WITHOUT decompressing any payload: reads
+    only each member's .npy header from the zip."""
+    import zipfile
+
+    shapes, dtypes = {}, {}
+    with zipfile.ZipFile(path) as zf:
+        for name in zf.namelist():
+            key = name[:-4] if name.endswith(".npy") else name
+            with zf.open(name) as f:
+                version = np.lib.format.read_magic(f)
+                shape, _, dtype = np.lib.format._read_array_header(f, version)
+            shapes[key] = shape
+            dtypes[key] = dtype
+    return shapes, dtypes
 
 
 def load_replay_buffer(path):
@@ -56,14 +81,21 @@ def load_replay_buffer(path):
 
     rb_path = _rbuf_path(path)
     if Path(rb_path).exists() and runtime.get_lib() is not None:
-        with np.load(path) as z:  # shapes come from the portable sibling
-            shapes = {k: z[k].shape[1:] for k in ("s0", "a0", "sn", "ts")}
-            f32 = all(z[k].dtype == np.float32 for k in ("s0", "a0", "sn", "ts"))
-        if f32:  # the native store is float32; fall through for f64 data
+        # header-only metadata read — no payload decompression
+        try:
+            shapes_full, dtypes = _npz_metadata(path)
+        except Exception:
+            shapes_full, dtypes = None, None
+        if shapes_full is not None and all(
+            dtypes[k] == np.float32 for k in ("s0", "a0", "sn", "ts")
+        ):  # the native store is float32; fall through for f64 data
+            shapes = {k: shapes_full[k][1:] for k in ("s0", "a0", "sn", "ts")}
             rb = runtime.open_buffer(rb_path, shapes)
-            out = tuple(jnp.asarray(rb.arrays[k]) for k in ("s0", "a0", "sn", "ts"))
-            rb.close()
-            return out
+            if rb.arrays["s0"].shape[0] == shapes_full["s0"][0]:
+                out = tuple(jnp.asarray(rb.arrays[k]) for k in ("s0", "a0", "sn", "ts"))
+                rb.close()
+                return out
+            rb.close()  # row-count mismatch: stale sibling, use the .npz
     with np.load(path) as z:
         return (
             jnp.asarray(z["s0"]),

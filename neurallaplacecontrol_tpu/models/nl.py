@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import snap_cme_terms
-from ..ops.ilt import laplace_reconstruct
+from ..ops.ilt import effective_terms, laplace_reconstruct
 from .base import DynamicsModel, NormStats
 from .common import gru_apply, gru_init, linear_apply, linear_init, mlp_apply_tanh, mlp_init
 
@@ -48,6 +48,10 @@ def make_nl_model(
 ) -> DynamicsModel:
     if ilt_algorithm == "cme":
         s_recon_terms = snap_cme_terms(s_recon_terms)  # w_nl.py:86-88
+    # every algorithm's true node count (stehfest/euler/dehoog round
+    # internally); the MLP head is sized from this, so it must match the
+    # query-point count exactly
+    s_recon_terms = effective_terms(s_recon_terms, ilt_algorithm)
     laplace_latent_dim = state_dim + _ACTION_LATENT  # w_nl.py:90
     gru_in = action_dim + (1 if encode_obs_time else 0)
     gru_hidden = hidden_units // 2
@@ -145,8 +149,13 @@ def make_nl_model(
             mlp[-1]["w"], mlp[-1]["b"], state_dim, s_recon_terms, t_model
         )
 
-        def apply_fused(p, obs, action_buffer, ts):
-            del ts  # fixed at specialization time
+        def apply_fused(p_ignored, obs, action_buffer, ts):
+            """Signature-compatible with model.apply, but the ENTIRE
+            parameter set (encoder, MLP trunk, fused head) is bound at
+            specialization time — the first argument is ignored so updated
+            params can never silently mix with the frozen packed head
+            (re-specialize after a parameter update instead)."""
+            del p_ignored, ts  # fixed at specialization time
             if normalize:
                 obs_n = (obs - state_mean) / state_std
                 act_n = (action_buffer - action_mean) / action_std
@@ -154,8 +163,8 @@ def make_nl_model(
                 obs_n = obs
                 act_n = action_buffer / 3.0
             rev = jnp.flip(act_n, axis=1)
-            h = gru_apply(p["encoder"]["gru"], rev)
-            p_action = linear_apply(p["encoder"]["out"], h)
+            h = gru_apply(params["encoder"]["gru"], rev)
+            p_action = linear_apply(params["encoder"]["out"], h)
             lat = jnp.concatenate([obs_n, p_action], axis=-1)
             B = lat.shape[0]
             x = jnp.concatenate(
@@ -167,7 +176,7 @@ def make_nl_model(
                 axis=-1,
             )
             hidden = x
-            for layer in p["laplace_rep"][:-1]:
+            for layer in params["laplace_rep"][:-1]:
                 hidden = jnp.tanh(linear_apply(layer, hidden))
             return nl_head_fused(hidden, packed, state_dim)
 

@@ -36,6 +36,7 @@ sigma = alpha - ln(eps)/T:
 
 from __future__ import annotations
 
+import functools
 import math
 from functools import partial
 from typing import Callable, Tuple
@@ -287,36 +288,79 @@ def _cme_order(terms: int) -> int:
     return max(1, (terms - 1) // 2)
 
 
-def _cme_nodes_weights(n: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Closed-form CME nodes/weights from the squared-cosine kernel.
-
-    Uses the unoptimized concentrated matrix-exponential distribution of
-    Horvath et al. 2020 ("Numerical inverse Laplace transformation using
-    concentrated matrix exponential distributions", starting kernel):
-
-        g(x) = c * e^{-a x} * cos^{2n}(omega x / 2)
-
-    normalized so that E[X] = 1, with a = n (matching the kernel's
-    concentration rate) and omega chosen so the kernel's mass concentrates at
-    x = 1. Expanding cos^{2n} into complex exponentials gives 2n+1 nodes
-    beta_j = a - i*(j - n)*omega with binomial weights; the Abate-Whitt form
-    is then f(t) ~ (1/t) sum_j eta_j F(beta_j / t).
-    """
-    # binomial expansion: cos^{2n}(w x/2) = 4^{-n} sum_j C(2n, j) e^{i (j-n) w x}
-    a = float(n)
-    omega = math.pi * n / 4.0  # heuristic concentration; see test_ilt.py
+def _cme_raw(n: int, a: float, omega: float):
+    """Mean-1-normalized exponential mixture for the phased cosine kernel
+    g(x) = e^{-a x} cos^{2n}((omega x - omega)/2)  (peak at x = 1):
+    beta_j = a - i (j-n) omega, w_j = 4^{-n} C(2n, j) e^{-i (j-n) omega}.
+    Returns (beta, w) of the density Sum_j w_j e^{-beta_j x} with unit mass
+    and unit mean, or None where the normalization degenerates."""
     jj = np.arange(2 * n + 1)
     beta = a - 1j * (jj - n) * omega
-    w = np.array([math.comb(2 * n, int(j)) for j in jj], dtype=np.float64) * 4.0**-n
-    # normalize: choose c so that integral of kernel * f == f at scale 1 for
-    # constant f: sum_j w_j / beta_j = 1  (kernel integrates to one)
-    mass = np.sum(w / beta)
-    # first moment: sum_j w_j / beta_j^2  (mean of the kernel)
-    mean = np.sum(w / beta**2) / mass
-    # rescale time so the kernel mean sits at exactly 1
-    beta = beta * np.real(mean)
-    w = w / np.real(mass) * np.real(mean)
-    return beta, w
+    logw = np.array(
+        [
+            math.lgamma(2 * n + 1) - math.lgamma(j + 1) - math.lgamma(2 * n - j + 1)
+            for j in jj
+        ]
+    ) - 2 * n * math.log(2.0)
+    w = np.exp(logw) * np.exp(-1j * (jj - n) * omega)
+    mass = float(np.real(np.sum(w / beta)))
+    m1 = float(np.real(np.sum(w / beta**2)))
+    if mass <= 1e-12 or m1 <= 1e-12:
+        return None
+    m1 = m1 / mass
+    return beta * m1, w * m1 / mass
+
+
+@functools.lru_cache(maxsize=None)
+def _cme_nodes_weights(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Concentrated-matrix-exponential nodes/weights (order 2n+1).
+
+    Closed-form phased squared-cosine construction in the spirit of Horvath
+    & Telek's CME ILT (the torchlaplace 'cme' backend ships numerically
+    OPTIMIZED coefficient tables that are licensed; this is an independent,
+    convergent construction with the same API): the kernel
+    e^{-a x} cos^{2n}((omega(x-1))/2) expands into a 2n+1-term complex
+    exponential mixture; the Abate-Whitt form is then
+    f(t) ~ Re(sum_j w_j F(beta_j / t)) / t. The shape parameters (a, omega)
+    are calibrated ONCE per order by a coarse->refined grid search
+    minimizing reconstruction error on two analytic transform pairs
+    (cached; pure numpy at construction time). Held-out accuracy decreases
+    monotonically with the order — see tests/test_ilt.py.
+    """
+    ts = np.linspace(0.1, 3.0, 48)
+    targets = (
+        (lambda s: 1.0 / (s + 1.0), np.exp(-ts)),
+        (lambda s: 1.0 / (s * s + 1.0), np.sin(ts)),
+    )
+
+    def score(a, omega):
+        r = _cme_raw(n, a, omega)
+        if r is None:
+            return np.inf
+        beta, w = r
+        err = 0.0
+        for F, y in targets:
+            rec = np.real((w[None] * F(beta[None] / ts[:, None])).sum(1)) / ts
+            err += float(np.mean((rec - y) ** 2))
+        return err if np.isfinite(err) else np.inf
+
+    # coarse grid, then one refinement around the winner
+    a_grid = np.linspace(0.5, 2.5 * n, 24)
+    o_grid = np.linspace(0.5, 2.0 * n, 28)
+    best, best_err = (float(n), float(n)), np.inf
+    for a in a_grid:
+        for om in o_grid:
+            e = score(a, om)
+            if e < best_err:
+                best, best_err = (float(a), float(om)), e
+    da = max(2.5 * n / 23.0, 1e-2)
+    do = max(2.0 * n / 27.0, 1e-2)
+    for a in np.linspace(best[0] - da, best[0] + da, 9):
+        for om in np.linspace(max(best[1] - do, 1e-2), best[1] + do, 9):
+            e = score(a, om)
+            if e < best_err:
+                best, best_err = (float(a), float(om)), e
+    return _cme_raw(n, *best)
 
 
 def _cme_nodes(t: jnp.ndarray, terms: int) -> jnp.ndarray:
@@ -329,9 +373,10 @@ def _cme_nodes(t: jnp.ndarray, terms: int) -> jnp.ndarray:
 
 def _cme_combine(F: jnp.ndarray, t: jnp.ndarray, terms: int) -> jnp.ndarray:
     n = _cme_order(terms)
-    beta, w = _cme_nodes_weights(n)
+    _, w = _cme_nodes_weights(n)
     t = _tsafe(t)
-    eta = jnp.asarray(w * beta, dtype=_complex_dtype(t.dtype))
+    # E[f(tX)] for the mean-1 mixture density: f(t) ~ Re(sum w_j F(b_j/t))/t
+    eta = jnp.asarray(w, dtype=_complex_dtype(t.dtype))
     k = 2 * n + 1
     return jnp.real(jnp.sum(eta * F[..., :k], axis=-1)) / t
 
@@ -351,8 +396,28 @@ ILT_ALGORITHMS = {
 }
 
 
+def effective_terms(terms: int, algorithm: str = "fourier") -> int:
+    """The node count an algorithm actually uses for a requested ``terms``.
+
+    Several algorithms round internally (Stehfest needs an even count;
+    euler/dehoog/cme are 2M+1 structured). Callers that size tensors by the
+    term count (e.g. the NL model's MLP head, models/nl.py) MUST size with
+    this value — mismatches crash at trace time.
+    """
+    if algorithm == "stehfest":
+        return _stehfest_even_terms(terms)
+    if algorithm == "euler":
+        return 2 * _euler_m(terms) + 1
+    if algorithm == "dehoog":
+        return 2 * _dehoog_M(terms) + 1
+    if algorithm == "cme":
+        return 2 * _cme_order(terms) + 1
+    return terms  # fourier / fixed_talbot use the count as requested
+
+
 def ilt_query_points(t: jnp.ndarray, terms: int, algorithm: str = "fourier") -> jnp.ndarray:
-    """Complex s-plane query nodes, shape ``t.shape + (terms,)``."""
+    """Complex s-plane query nodes, shape
+    ``t.shape + (effective_terms(terms, algorithm),)``."""
     nodes, _ = ILT_ALGORITHMS[algorithm]
     return nodes(jnp.asarray(t), terms)
 

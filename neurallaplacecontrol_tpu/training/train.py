@@ -169,25 +169,32 @@ def train_model(
     eval_rewards = []
 
     for epoch_i in range(config.training_epochs):
-        data_key, k_data, k_perm = jax.random.split(data_key, 3)
+        # budget also guards the epoch loop: tiny datasets can yield zero
+        # full batches, in which case the per-segment cutoff below never runs
+        if budget is not None and timer.elapsed() > budget:
+            break
+        data_key, k_data, k_perm, k_sub = jax.random.split(data_key, 4)
         with timer.exclude():  # dataset build/load is outside the budget
             s0, a0, sn, ts = get_epoch_data(env, env_name, delay, config, k_data)
             if config.training_use_only_samples is not None:
-                s0 = s0[: config.training_use_only_samples]
-                a0 = a0[: config.training_use_only_samples]
-                sn = sn[: config.training_use_only_samples]
-                ts = ts[: config.training_use_only_samples]
+                # a RANDOM N-subset like the reference (train_utils.py:
+                # 340-344 randperm[:N]) — expert data is episode-ordered, so
+                # a head slice would be a few contiguous episodes
+                idx = jax.random.permutation(k_sub, s0.shape[0])
+                idx = idx[: config.training_use_only_samples]
+                s0, a0, sn, ts = s0[idx], a0[idx], sn[idx], ts[idx]
+        batch_size_eff = min(batch_size, s0.shape[0])
         perm = jax.random.permutation(k_perm, s0.shape[0])
-        n_batches = perm.shape[0] // batch_size
+        n_batches = perm.shape[0] // batch_size_eff
         seg_len = max(1, min(config.iters_per_log, n_batches))
         n_segments = n_batches // seg_len
-        batches = perm[: n_segments * seg_len * batch_size].reshape(
-            n_segments, seg_len, batch_size
+        batches = perm[: n_segments * seg_len * batch_size_eff].reshape(
+            n_segments, seg_len, batch_size_eff
         )
 
         seg_losses = []
         for seg_i in range(n_segments):
-            shape_key = (seg_len, batch_size, s0.shape[0])
+            shape_key = (seg_len, batch_size_eff, s0.shape[0])
             if shape_key not in compiled:
                 with timer.exclude():  # jit compile excluded from budget
                     params, opt_state, losses = segment_fn(

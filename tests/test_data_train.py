@@ -244,3 +244,54 @@ def test_mid_training_evaluation(tmp_path):
     assert len(res["eval_rewards"]) >= 1
     assert np.isfinite(res["eval_rewards"][0])
     assert res["total_reward"] == res["eval_rewards"][-1]
+
+
+def test_stale_rbuf_never_shadows_fresh_npz(tmp_path, monkeypatch):
+    """Regression: a failed native write must remove any pre-existing .rbuf
+    so the next load cannot silently return outdated data."""
+    from neurallaplacecontrol_tpu import runtime
+    from neurallaplacecontrol_tpu.data.replay import _rbuf_path
+
+    path = str(tmp_path / "buf.npz")
+    mk = lambda v: (  # noqa: E731
+        jnp.full((4, 3), v, jnp.float32), jnp.full((4, 4, 1), v, jnp.float32),
+        jnp.full((4, 3), v, jnp.float32), jnp.full((4, 1), v, jnp.float32),
+    )
+    save_replay_buffer(path, *mk(1.0))
+    # regenerate in an environment where the native write fails
+    monkeypatch.setattr(runtime, "write_buffer", lambda *a, **k: False)
+    save_replay_buffer(path, *mk(2.0))
+    assert not os.path.exists(_rbuf_path(path))  # stale sibling removed
+    s0, _, _, _ = load_replay_buffer(path)
+    np.testing.assert_allclose(np.asarray(s0), 2.0)
+
+
+def test_npz_metadata_header_only(tmp_path):
+    from neurallaplacecontrol_tpu.data.replay import _npz_metadata
+
+    path = str(tmp_path / "m.npz")
+    np.savez_compressed(path, a=np.zeros((5, 2), np.float32), b=np.ones((3,), np.float64))
+    shapes, dtypes = _npz_metadata(path)
+    assert shapes["a"] == (5, 2) and dtypes["a"] == np.float32
+    assert shapes["b"] == (3,) and dtypes["b"] == np.float64
+
+
+def test_use_only_samples_random_subset_and_no_hang(tmp_path):
+    """training_use_only_samples below the batch size must not hang (the
+    budget now guards the epoch loop and the batch size adapts), and the
+    subset is randomly drawn rather than a head slice."""
+    cfg = Config(
+        train_with_expert_trajectories=False,
+        train_samples_per_dim=3,
+        training_use_only_samples=8,  # < batch size 16
+        iters_per_log=10,
+        training_epochs=3,
+        end_training_after_seconds=None,
+        saved_models_path=str(tmp_path) + "/",
+    )
+    _, _, res = train_model(
+        "delta_t_rnn", "oderl-pendulum", cfg, delay=0,
+        retrain=True, force_retrain=True,
+    )
+    assert len(res["epoch_losses"]) == 3
+    assert np.isfinite(res["epoch_losses"][-1])

@@ -11,6 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from neurallaplacecontrol_tpu.config import Config
 from neurallaplacecontrol_tpu.ops import (
     complex_to_spherical,
     spherical_to_complex,
@@ -159,3 +160,54 @@ def test_f32_path_finite():
     f64 = np.asarray(inverse_laplace(F, TS, terms=17, algorithm="fourier"))
     assert np.all(np.isfinite(f32))
     np.testing.assert_allclose(f32, f64, atol=5e-3)
+
+
+def test_cme_converges_on_held_out_pair():
+    """The CME construction must be convergent: held-out reconstruction
+    error decreases monotonically with the order, and is accurate in
+    absolute terms (regression: the old kernel diverged with terms)."""
+    t = jnp.linspace(0.05, 4.0, 100)
+    true = 0.5 * jnp.exp(-0.2 * t) * jnp.sin(2 * t)  # not used in calibration
+
+    def F(s):
+        return 0.5 * 2.0 / ((s + 0.2) ** 2 + 4.0)
+
+    errs = []
+    for terms in (9, 17, 33, 101):
+        f = inverse_laplace(F, t, terms, "cme")
+        errs.append(float(jnp.mean((f - true) ** 2)))
+    assert errs == sorted(errs, reverse=True), errs
+    assert errs[1] < 2e-2, errs  # 17 terms usable
+    assert errs[-1] < 1e-4, errs  # 101 terms accurate
+
+
+def test_effective_terms_contract():
+    """ilt_query_points returns exactly effective_terms nodes per algorithm."""
+    from neurallaplacecontrol_tpu.ops.ilt import effective_terms, ilt_query_points
+
+    t = jnp.asarray([0.3, 1.0])
+    for alg in ("fourier", "stehfest", "euler", "dehoog", "cme", "fixed_talbot"):
+        for req in (16, 17):
+            eff = effective_terms(req, alg)
+            s = ilt_query_points(t, req, alg)
+            assert s.shape == (2, eff), (alg, req, s.shape)
+
+
+def test_nl_model_every_algorithm_builds(key):
+    """Regression: stehfest (even nodes) / euler / dehoog with the default
+    17-term request used to crash the NL forward with a width mismatch."""
+    from neurallaplacecontrol_tpu.models import make_model
+
+    for alg in ("fourier", "stehfest", "euler", "dehoog", "cme", "fixed_talbot"):
+        model = make_model(
+            "nl", "oderl-pendulum", 3, 1, 2.0,
+            Config(nl_ilt_algorithm=alg, nl_s_recon_terms=17), dtype=jnp.float64,
+        )
+        params = model.init(key)
+        out = model.apply(
+            params,
+            jnp.zeros((2, 3)),
+            jnp.zeros((2, 4, 1)),
+            jnp.full((2, 1), 0.05),
+        )
+        assert out.shape == (2, 3) and bool(jnp.isfinite(out).all()), alg
