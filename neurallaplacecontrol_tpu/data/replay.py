@@ -90,12 +90,19 @@ def load_replay_buffer(path):
             dtypes[k] == np.float32 for k in ("s0", "a0", "sn", "ts")
         ):  # the native store is float32; fall through for f64 data
             shapes = {k: shapes_full[k][1:] for k in ("s0", "a0", "sn", "ts")}
-            rb = runtime.open_buffer(rb_path, shapes)
-            if rb.arrays["s0"].shape[0] == shapes_full["s0"][0]:
-                out = tuple(jnp.asarray(rb.arrays[k]) for k in ("s0", "a0", "sn", "ts"))
+            try:
+                rb = runtime.open_buffer(rb_path, shapes)
+            except IOError:
+                rb = None  # corrupt/truncated sibling: use the .npz
+            if rb is not None and rb.arrays["s0"].shape[0] == shapes_full["s0"][0]:
+                # copy BEFORE close: jnp.asarray zero-copies aligned numpy
+                # buffers on the CPU backend, and close() munmaps the pages
+                # under such aliases (use-after-free)
+                host = rb.copy_arrays()
                 rb.close()
-                return out
-            rb.close()  # row-count mismatch: stale sibling, use the .npz
+                return tuple(jnp.asarray(host[k]) for k in ("s0", "a0", "sn", "ts"))
+            if rb is not None:
+                rb.close()  # row-count mismatch: stale sibling, use the .npz
     with np.load(path) as z:
         return (
             jnp.asarray(z["s0"]),

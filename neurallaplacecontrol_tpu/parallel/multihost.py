@@ -22,19 +22,29 @@ import numpy as np
 
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
-               process_id: Optional[int] = None) -> None:
-    """Wire up multi-host JAX (no-op when already initialized or single
-    host). On Cloud TPU the arguments are auto-detected from the
-    environment; pass them explicitly elsewhere."""
-    if jax.process_count() > 1:
-        return  # already distributed
-    if coordinator_address is None and num_processes is None:
+               process_id: Optional[int] = None,
+               auto: bool = False) -> None:
+    """Wire up multi-host JAX.
+
+    MUST run before any other JAX call (anything that touches a backend —
+    including jax.process_count()/jax.devices() — makes distributed
+    initialization impossible, so this function deliberately performs no
+    probing). ``auto=True`` lets jax auto-detect the cluster (Cloud TPU /
+    SLURM environments); with no arguments and auto=False this is a no-op
+    for plain single-host runs. Idempotent: an 'already initialized' state
+    is tolerated."""
+    if not auto and coordinator_address is None and num_processes is None:
         return  # single host, nothing to do
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        raise
 
 
 def process_slice(items: Sequence, process_id: Optional[int] = None,

@@ -107,6 +107,24 @@ def make_k_sharded_mppi_command(cfg, params, dynamics_fn, running_cost_fn, mesh:
     """
     n_dev = mesh.devices.size
     assert cfg.num_samples % n_dev == 0, "K must divide the device count"
+    # the sharded rollout implements the DEFAULT planner configuration; the
+    # extended feature flags of mppi_command are not wired here — fail loud
+    # rather than silently diverge from the single-chip baseline
+    unsupported = {
+        "sample_null_action": cfg.sample_null_action,
+        "noise_abs_cost": cfg.noise_abs_cost,
+        "encode_obs_time": cfg.encode_obs_time,
+        "rollout_samples>1": cfg.rollout_samples > 1,
+        "rollout_var_cost": cfg.rollout_var_cost != 0.0,
+        "step_dependent_dynamics": cfg.step_dependent_dynamics,
+        "u_per_command>1": cfg.u_per_command > 1,
+    }
+    bad = [k for k, v in unsupported.items() if v]
+    if bad:
+        raise NotImplementedError(
+            f"K-sharded MPPI does not implement: {bad}; use the single-chip "
+            "planners.mppi_delay.mppi_command (vmap/shard the caller instead)"
+        )
     axis = ("dp", "tp")
 
     def local_command(U, obs, action_buffer, noise_local):
@@ -120,15 +138,17 @@ def make_k_sharded_mppi_command(cfg, params, dynamics_fn, running_cost_fn, mesh:
         scaled = perturbed * cfg.u_scale
         hist = jnp.broadcast_to(action_buffer[1:][None], (K_local, A - 1, nu))
         full = jnp.concatenate([hist, scaled], axis=1)
-        idx = jnp.arange(T)[:, None] + jnp.arange(A)[None, :]
-        windows = jnp.swapaxes(full[:, idx, :], 0, 1)
         state0 = jnp.broadcast_to(obs[None], (K_local,) + obs.shape)
 
-        def rollout_step(state, window):
+        def rollout_step(state, t):
+            # slice the window per step (planners/mppi_delay.py:150-157 —
+            # a pre-gathered [T, K, A, nu] tensor spills at large K, the
+            # regime this sharded path exists for)
+            window = jax.lax.dynamic_slice_in_dim(full, t, A, axis=1)
             state = dynamics_fn(state, window)
             return state, running_cost_fn(state, window[:, -1, :])
 
-        _, costs = jax.lax.scan(rollout_step, state0, windows)
+        _, costs = jax.lax.scan(rollout_step, state0, jnp.arange(T))
         cost = jnp.sum(costs, axis=0) + jnp.sum(U[None] * action_cost, axis=(1, 2))
 
         beta = jax.lax.pmin(jnp.min(cost), axis)

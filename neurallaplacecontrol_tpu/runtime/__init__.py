@@ -46,9 +46,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-        if not _SRC.exists() or not _build():
-            return None
+    # a shipped .so without the .cc source is usable as-is; only rebuild
+    # when the source exists and is newer
+    stale = _SRC.exists() and (
+        not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime
+    )
+    if stale and not _build():
+        return None
+    if not _LIB.exists():
+        return None
     lib = ctypes.CDLL(str(_LIB))
     lib.rb_write.restype = ctypes.c_int
     lib.rb_write.argtypes = [
@@ -106,6 +112,16 @@ class ReplayBuffer:
             flat = np.ctypeslib.as_array(ptr, shape=(self.n * d,))
             self.arrays[name] = flat.reshape((self.n,) + tuple(shapes[name]))
 
+    def copy_arrays(self) -> dict:
+        """Heap COPIES of all arrays, safe to use after close().
+
+        The ``arrays`` views alias the mmap directly: close()/GC munmaps
+        the pages under them (and under anything that zero-copied them,
+        e.g. jnp.asarray on the CPU backend) — callers that outlive the
+        buffer must copy.
+        """
+        return {k: np.array(v, copy=True) for k, v in self.arrays.items()}
+
     def gather(self, name: str, idx: np.ndarray, n_threads: int = 8) -> np.ndarray:
         i = self.NAMES.index(name)
         idx = np.ascontiguousarray(idx, dtype=np.int64)
@@ -138,6 +154,11 @@ def write_buffer(path: str, s0, a0, sn, ts) -> bool:
         return False
     arrs = [np.ascontiguousarray(np.asarray(x), dtype=np.float32) for x in (s0, a0, sn, ts)]
     n = arrs[0].shape[0]
+    if any(a.shape[0] != n for a in arrs):
+        raise ValueError(
+            f"row-count mismatch: {[a.shape[0] for a in arrs]} (rb_write would "
+            "read past the end of the shorter arrays)"
+        )
     dims = (ctypes.c_uint64 * 4)(
         *[int(np.prod(a.shape[1:], dtype=np.int64)) if a.ndim > 1 else 1 for a in arrs]
     )

@@ -51,6 +51,7 @@ def evaluate_policy(
     total_reward is rescaled by 200/n_steps (mppi_with_model.py:301).
     """
     assert model_name in EVAL_MODELS, model_name
+    seeds = list(seeds)  # consumed more than once below
     roll_outs = roll_outs or config.mppi_roll_outs
     time_steps = time_steps or config.mppi_time_steps
     dt = config.dt
@@ -124,9 +125,13 @@ def evaluate_policy(
         mesh = Mesh(np.asarray(jax.devices()), axis_names=("seeds",))
         keys = jax.device_put(keys, NamedSharding(mesh, P("seeds")))
 
+    # AOT-compile outside the timed region so the reported throughput
+    # measures execution, not the (60-120 s on this TPU) first compile —
+    # otherwise sweep trials with fresh shapes are incomparable
+    compiled = episode_batch.lower(keys).compile()
     t0 = time.perf_counter()
     with profile_trace(profile_trace_dir):
-        totals, records = episode_batch(keys)
+        totals, records = compiled(keys)
         totals.block_until_ready()
     elapsed = time.perf_counter() - t0
 
@@ -148,7 +153,7 @@ def evaluate_policy(
 
     scale = 200.0 / settings.n_steps
     totals = jnp.asarray(totals) * scale
-    n = len(list(seeds))
+    n = len(seeds)
     return {
         "model_name": model_name,
         "env_name": env_name,

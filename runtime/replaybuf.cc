@@ -99,7 +99,13 @@ void* rb_open(const char* path) {
   h->map = map;
   h->map_len = st.st_size;
   std::memcpy(&h->hdr, map, sizeof(Header));
-  if (h->hdr.magic != kMagic) {
+  // validate magic AND the full payload size — a crash/full-disk during
+  // rb_write can leave a complete header with a truncated payload, which
+  // would otherwise SIGBUS on first read past EOF
+  uint64_t payload = 0;
+  for (int i = 0; i < kArrays; ++i) payload += h->hdr.n_rows * h->hdr.dims[i];
+  const uint64_t need = sizeof(Header) + payload * sizeof(float);
+  if (h->hdr.magic != kMagic || static_cast<uint64_t>(st.st_size) < need) {
     munmap(map, st.st_size);
     ::close(fd);
     delete h;
@@ -137,18 +143,24 @@ int rb_gather(void* handle, int i, const int64_t* idx, uint64_t k, float* out,
   const float* base = h->base[i];
   if (n_threads < 1) n_threads = 1;
 
-  auto worker = [&](uint64_t lo, uint64_t hi) {
+  // out-of-range indices are an ERROR (returning partial/uninitialized
+  // output would silently feed garbage rows into training)
+  std::vector<int> bad(n_threads > 0 ? n_threads : 1, 0);
+  auto worker = [&](int tid, uint64_t lo, uint64_t hi) {
     for (uint64_t j = lo; j < hi; ++j) {
       const int64_t row = idx[j];
-      if (row < 0 || static_cast<uint64_t>(row) >= n) continue;
+      if (row < 0 || static_cast<uint64_t>(row) >= n) {
+        bad[tid] = 1;
+        return;
+      }
       std::memcpy(out + j * d, base + static_cast<uint64_t>(row) * d,
                   d * sizeof(float));
     }
   };
 
   if (n_threads == 1 || k < 4096) {
-    worker(0, k);
-    return 0;
+    worker(0, 0, k);
+    return bad[0] ? -2 : 0;
   }
   std::vector<std::thread> threads;
   const uint64_t chunk = (k + n_threads - 1) / n_threads;
@@ -156,9 +168,11 @@ int rb_gather(void* handle, int i, const int64_t* idx, uint64_t k, float* out,
     const uint64_t lo = t * chunk;
     const uint64_t hi = lo + chunk < k ? lo + chunk : k;
     if (lo >= hi) break;
-    threads.emplace_back(worker, lo, hi);
+    threads.emplace_back(worker, t, lo, hi);
   }
   for (auto& th : threads) th.join();
+  for (int b : bad)
+    if (b) return -2;
   return 0;
 }
 

@@ -241,3 +241,11 @@ def test_rollout_states_visualization(key):
     assert states.shape == (2, 3, 1)
     # scaled actions 1.0, 2.0, -1.0 -> cumulative states 1, 3, 2
     np.testing.assert_allclose(np.asarray(states[0, :, 0]), [1.0, 3.0, 2.0], atol=1e-12)
+
+
+def test_evaluate_policy_accepts_generator_seeds():
+    res = evaluate_policy(
+        "random", "oderl-pendulum", 0, seeds=(s for s in [0, 1]),
+        config=Config(dt=0.5),
+    )
+    assert len(res["total_rewards"]) == 2 and res["seeds"] == [0, 1]

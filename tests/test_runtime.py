@@ -71,3 +71,47 @@ def test_open_rejects_garbage(lib, tmp_path):
     bad.write_bytes(b"not a replay buffer at all........")
     with pytest.raises(IOError):
         runtime.open_buffer(bad, {"s0": (3,), "a0": (4, 1), "sn": (3,), "ts": (1,)})
+
+
+def test_gather_rejects_out_of_range(lib, tmp_path):
+    """Out-of-range gather indices must raise, not fill garbage rows."""
+    import jax.numpy as jnp
+    import pytest
+
+    from neurallaplacecontrol_tpu import runtime
+    from neurallaplacecontrol_tpu.data.replay import _rbuf_path, save_replay_buffer
+
+    path = str(tmp_path / "b.npz")
+    save_replay_buffer(
+        path,
+        jnp.ones((6, 3), jnp.float32), jnp.ones((6, 4, 1), jnp.float32),
+        jnp.ones((6, 3), jnp.float32), jnp.ones((6, 1), jnp.float32),
+    )
+    rb = runtime.open_buffer(_rbuf_path(path), {"s0": (3,), "a0": (4, 1), "sn": (3,), "ts": (1,)})
+    with pytest.raises(RuntimeError):
+        rb.gather("s0", np.asarray([0, 99], np.int64))
+    rb.close()
+
+
+def test_truncated_rbuf_rejected(lib, tmp_path):
+    """A truncated .rbuf (crash mid-write) must fail to open and fall back
+    to the intact .npz instead of SIGBUSing later."""
+    import jax.numpy as jnp
+
+    from neurallaplacecontrol_tpu.data.replay import (
+        _rbuf_path,
+        load_replay_buffer,
+        save_replay_buffer,
+    )
+
+    path = str(tmp_path / "t.npz")
+    save_replay_buffer(
+        path,
+        jnp.full((8, 3), 5.0, jnp.float32), jnp.ones((8, 4, 1), jnp.float32),
+        jnp.ones((8, 3), jnp.float32), jnp.ones((8, 1), jnp.float32),
+    )
+    rb_path = _rbuf_path(path)
+    data = open(rb_path, "rb").read()
+    open(rb_path, "wb").write(data[: len(data) // 2])  # truncate payload
+    s0, _, _, _ = load_replay_buffer(path)  # falls back to npz
+    np.testing.assert_allclose(np.asarray(s0), 5.0)
