@@ -128,7 +128,11 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> Config:
         elif isinstance(default, str):
             parser.add_argument(f"--{f.name}", type=str, default=default)
         elif default is None:
-            parser.add_argument(f"--{f.name}", type=float, default=None)
+            # Optional fields: respect the annotated scalar type so e.g.
+            # --training_use_only_samples 1000 arrives as an int (a float
+            # would crash slicing and leak '1000.0' into checkpoint names)
+            opt_type = int if "int" in str(f.type) else float
+            parser.add_argument(f"--{f.name}", type=opt_type, default=None)
         # sequences (baselines) are not exposed on the CLI
     ns, _ = parser.parse_known_args(argv)
     known = {f.name for f in dataclasses.fields(Config)}

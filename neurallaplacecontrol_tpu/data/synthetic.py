@@ -67,8 +67,9 @@ def _generate(env: Env, key: jax.Array, samples_per_dim: int, rounds: int,
                 actions = jnp.stack([g.reshape(-1) for g in am], axis=-1)
         return s0s, actions
 
-    keys = jax.random.split(key, rounds + 2)
-    round_keys, k_dt, k_buf = keys[:rounds], keys[rounds], keys[rounds + 1]
+    keys = jax.random.split(key, rounds + 3)
+    round_keys = keys[:rounds]
+    k_dt, k_buf, k_obs = keys[rounds], keys[rounds + 1], keys[rounds + 2]
 
     if reuse_state_actions:
         # one (state, action) draw shared by all rounds (overlay.py:695-702)
@@ -104,7 +105,9 @@ def _generate(env: Env, key: jax.Array, samples_per_dim: int, rounds: int,
     ts = jnp.repeat(dts, N_round)[:, None]
 
     if spec.obs_noise != 0.0:
-        sn = sn + jax.random.normal(k_buf, sn.shape) * spec.obs_noise
+        # independent key — reusing k_buf would correlate the observation
+        # noise with the distractor buffer actions drawn below
+        sn = sn + jax.random.normal(k_obs, sn.shape) * spec.obs_noise
 
     # embed executed action at -(delay+1) in a random buffer (overlay.py:718-721)
     N = a0.shape[0]

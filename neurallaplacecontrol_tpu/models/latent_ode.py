@@ -154,16 +154,19 @@ def make_latent_ode_model(
         return _encode_z0(params, x_seq, times)
 
     def predict_diff(params, key, obs_hist, act_hist, ts, n_samples=1):
-        """Sample z0 ~ q, decode state-diff at horizon ts [B, 1] (all rows
-        must share one horizon, w_latent_ode.py:177-181)."""
+        """Sample z0 ~ q, decode the state-diff at each row's OWN horizon
+        ts [B, 1]. The reference requires a shared horizon per batch
+        (w_latent_ode.py:177-181 asserts it); decoding per row under vmap
+        removes that restriction at identical cost, which matters for
+        training batches drawn from the irregular 'exp' grid where horizons
+        within a batch differ by orders of magnitude."""
         z_mean, z_std = encode_history(params, obs_hist, act_hist)
-        t1 = jnp.reshape(ts, (-1,))[0]
+        t1 = jnp.reshape(ts, (-1,))  # [B]
 
         def one(k):
             eps = jax.random.normal(k, z_mean.shape, dtype=z_mean.dtype)
             z0 = z_mean + z_std * eps
-            out = _decode(params, z0, t1)
-            return out
+            return jax.vmap(lambda z, t: _decode(params, z[None], t)[0])(z0, t1)
 
         outs = jax.vmap(one)(jax.random.split(key, n_samples))  # [S, B, D]
         return outs, (z_mean, z_std)
@@ -240,13 +243,15 @@ def make_latent_ode_model(
     return model
 
 
-def make_carried_dynamics(model, params, dt: float, state_dim: int, action_dim: int):
+def make_carried_dynamics(model, params, dt: float, state_dim: int, action_dim: int,
+                          action_buffer_size: int = 4):
     """Trajectory-aware latent-ODE planner dynamics: the MPPI rollout carries
     the last A rollout states as the encoder history (functional equivalent
-    of the reference's mutable batch_obs_buffer, w_latent_ode.py:160-172)."""
+    of the reference's mutable batch_obs_buffer, w_latent_ode.py:160-172).
+    ``action_buffer_size`` must match the training window length."""
 
     def carry_init(state0):
-        A = 4
+        A = action_buffer_size
         return jnp.broadcast_to(state0[:, None, :], (state0.shape[0], A, state0.shape[1]))
 
     def dynamics(carry, state, window):

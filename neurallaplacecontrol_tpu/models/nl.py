@@ -89,16 +89,23 @@ def make_nl_model(
         phi = jnp.tanh(out[..., state_dim:, :]) * (jnp.pi / 2.0)  # (-pi/2, pi/2)
         return theta, phi
 
+    def _norm_actions(action_buffer):
+        # normalize only the action channels; a time-age channel
+        # (encode_obs_time) passes through raw — broadcasting the (m,)
+        # stats against an (m+1)-wide buffer would crash for m > 1
+        acts = action_buffer[..., :action_dim]
+        acts = (acts - action_mean) / action_std if normalize else acts / 3.0
+        return jnp.concatenate([acts, action_buffer[..., action_dim:]], axis=-1)
+
     def apply(params, obs, action_buffer, ts):
         """obs [B,n], action_buffer [B,A,m(+t)], ts [B,1] or [B] -> [B,n]."""
+        act_n = _norm_actions(action_buffer)
         if normalize:
             obs_n = (obs - state_mean) / state_std
-            act_n = (action_buffer - action_mean) / action_std
             if normalize_time:
                 ts = ts / (dt * 8.0)  # w_nl.py:123
         else:
-            obs_n = obs
-            act_n = action_buffer / 3.0  # w_nl.py:129
+            obs_n = obs  # w_nl.py:129
         # f32/TPU stability: exp-sampled horizons can be arbitrarily small
         # and the fourier contour's e^{sigma t}/T prefactor grows like 1/t.
         # Floor the (normalized) query time; affected samples (~2% of an
@@ -156,12 +163,8 @@ def make_nl_model(
             params can never silently mix with the frozen packed head
             (re-specialize after a parameter update instead)."""
             del p_ignored, ts  # fixed at specialization time
-            if normalize:
-                obs_n = (obs - state_mean) / state_std
-                act_n = (action_buffer - action_mean) / action_std
-            else:
-                obs_n = obs
-                act_n = action_buffer / 3.0
+            obs_n = (obs - state_mean) / state_std if normalize else obs
+            act_n = _norm_actions(action_buffer)
             rev = jnp.flip(act_n, axis=1)
             h = gru_apply(params["encoder"]["gru"], rev)
             p_action = linear_apply(params["encoder"]["out"], h)

@@ -66,7 +66,10 @@ def make_node_model(
             ts = ts / (dt * 8.0)
         if action_buffer.ndim == 2:
             action_buffer = action_buffer[:, None, :]
-        u = action_buffer[:, -1, :]  # last action, unnormalized (:730)
+        # last action, unnormalized (:730); slice off any time-age channel
+        # (encode_obs_time appends one — the ODE func input is sized for
+        # action_dim)
+        u = action_buffer[:, -1, :action_dim]
         if augment_dim > 0:
             aug = jnp.zeros(x.shape[:-1] + (augment_dim,), dtype=x.dtype)
             x = jnp.concatenate([x, aug], axis=-1)

@@ -32,7 +32,11 @@ def _make(
     dt: float = 0.05,
     dtype=jnp.float32,
 ) -> DynamicsModel:
-    gru_in = action_dim + (1 if (encode_obs_time and with_dt) else 0)
+    # the time-age channel feeds the GRU un-normalized; the reference's
+    # plain RNN crashes outright on encode_obs_time buffers and its
+    # DeltaTRNN normalizes the age channel with the action std by broadcast
+    # accident — both models here take the extra channel cleanly
+    gru_in = action_dim + (1 if encode_obs_time else 0)
     head_in = hidden_units + state_dim + (1 if with_dt else 0)
 
     state_mean = jnp.asarray(norm.state_mean, dtype)
@@ -47,13 +51,17 @@ def _make(
             "out": linear_init(k_out, head_in, state_dim, xavier=False, dtype=dtype),
         }
 
+    def _norm_actions(action_buffer):
+        acts = action_buffer[..., :action_dim]
+        acts = (acts - action_mean) / action_std if normalize else acts / 3.0
+        return jnp.concatenate([acts, action_buffer[..., action_dim:]], axis=-1)
+
     def apply(params, obs, action_buffer, ts):
         if normalize:
             obs_n = (obs - state_mean) / state_std
-            act_n = (action_buffer - action_mean) / action_std
         else:
             obs_n = obs
-            act_n = action_buffer / 3.0
+        act_n = _norm_actions(action_buffer)
         h = gru_apply(params["gru"], act_n)
         if with_dt:
             if ts.ndim == 1:

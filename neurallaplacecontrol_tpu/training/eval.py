@@ -87,7 +87,8 @@ def evaluate_policy(
         from ..models.latent_ode import make_carried_dynamics
 
         dynamics_carry_init, dynamics = make_carried_dynamics(
-            model_apply, params, dt, spec.n_obs, spec.m
+            model_apply, params, dt, spec.n_obs, spec.m,
+            action_buffer_size=config.action_buffer_size,
         )
     else:
         assert model_apply is not None and params is not None, (

@@ -1,10 +1,11 @@
 """Latent-ODE training path.
 
 The latent-ODE trains on history windows built from consecutive dataset
-rows (reference train_utils.py:371-378 via tensor.unfold): for row i the
-encoder sees observations/actions from rows [i .. i+A-1] and predicts the
-state diff of row i+A-1 over its recorded horizon. Loss is the IWAE bound
-from models.latent_ode.train_step (reference w_latent_ode.py:97-131 ->
+rows (reference train_utils.py:371-378 via tensor.unfold): for window i the
+encoder sees observations/actions from rows [i .. i+A-1] and regresses the
+reference's (quirky) target sn[i] - s0[i+A-1] at horizon ts[i] — see
+build_history_windows. Loss is the IWAE bound from
+models.latent_ode.train_step (reference w_latent_ode.py:97-131 ->
 compute_all_losses).
 """
 
@@ -26,16 +27,21 @@ logger = logging.getLogger(__name__)
 
 
 def build_history_windows(s0, a0, sn, ts, window: int):
-    """[N, ...] rows -> ([N-A+1, A, n], [N-A+1, A, m], targets, horizons)."""
+    """[N, ...] rows -> ([N-A+1, A, n], [N-A+1, A, m], targets, horizons).
+
+    REFERENCE-QUIRK alignment preserved for parity (train_utils.py:373-378,
+    :391-398): window i is paired with the FIRST M rows of (sn, ts), i.e.
+    target = sn[i] - history_s0[i, -1] at horizon ts[i] — the target state
+    precedes the window's newest frame rather than following it. The
+    uniform-signature models never see this path; it only shapes the
+    latent-ODE baseline exactly as the reference shaped it.
+    """
     N = s0.shape[0]
     M = N - window + 1
     idx = jnp.arange(M)[:, None] + jnp.arange(window)[None, :]  # [M, A]
     hist_s = s0[idx]  # [M, A, n]
     current_a = a0[:, -1, :]  # newest action per row (train_utils.py:372)
     hist_a = current_a[idx]  # [M, A, m]
-    target = sn[: M] - hist_s[:, -1, :] if False else None  # see below
-    # reference alignment (train_utils.py:373-378): targets come from the
-    # FIRST M rows of (sn, ts); bsd = bsn - bhistory_s0[:, -1, :]
     sn_m, ts_m = sn[:M], ts[:M]
     target = sn_m - hist_s[:, -1, :]
     return hist_s, hist_a, target, ts_m
@@ -77,6 +83,11 @@ def train_latent_ode(model, params, env, env_name, config: Config, delay, ckpt_p
     last_loss = float("nan")
 
     for epoch_i in range(config.training_epochs):
+        # epoch-level budget guard: tiny datasets can yield zero segments,
+        # in which case the per-segment cutoff below never runs (train.py
+        # has the same guard)
+        if budget is not None and timer.elapsed() > budget:
+            break
         data_key, k_data, k_perm, k_train = jax.random.split(data_key, 4)
         with timer.exclude():
             s0, a0, sn, ts = get_epoch_data(env, env_name, delay, config, k_data)
@@ -90,17 +101,18 @@ def train_latent_ode(model, params, env, env_name, config: Config, delay, ckpt_p
         )
         seg_losses = []
         for seg_i in range(n_segments):
+            k_seg = jax.random.fold_in(k_train, seg_i)  # fresh IWAE noise per segment
             shape_key = (seg_len, batch_size, hist_s.shape[0])
             if shape_key not in compiled:
                 with timer.exclude():
                     params, opt_state, losses = segment_fn(
-                        params, opt_state, k_train, hist_s, hist_a, target, ts_m, batches[seg_i]
+                        params, opt_state, k_seg, hist_s, hist_a, target, ts_m, batches[seg_i]
                     )
                     jax.block_until_ready(losses)
                 compiled.add(shape_key)
             else:
                 params, opt_state, losses = segment_fn(
-                    params, opt_state, k_train, hist_s, hist_a, target, ts_m, batches[seg_i]
+                    params, opt_state, k_seg, hist_s, hist_a, target, ts_m, batches[seg_i]
                 )
             track = float(jnp.mean(losses))
             last_loss = float(losses[-1])

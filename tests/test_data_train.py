@@ -295,3 +295,11 @@ def test_use_only_samples_random_subset_and_no_hang(tmp_path):
     )
     assert len(res["epoch_losses"]) == 3
     assert np.isfinite(res["epoch_losses"][-1])
+
+
+def test_parse_args_optional_int():
+    from neurallaplacecontrol_tpu.config import parse_args
+
+    cfg = parse_args(["--training_use_only_samples", "1000"])
+    assert cfg.training_use_only_samples == 1000
+    assert isinstance(cfg.training_use_only_samples, int)

@@ -97,3 +97,25 @@ def test_nl_model_eval_with_encode_obs_time(key):
         model_apply=model.apply, params=params, roll_outs=16, time_steps=5,
     )
     assert np.isfinite(res["total_reward"])
+
+
+def test_all_model_families_consume_age_channel(key):
+    """rnn / delta_t_rnn / node / nl must all accept the (m+1)-channel
+    encode_obs_time buffer (the reference's plain RNN crashes here; ours
+    handles the extra channel cleanly, acrobot m=2 included)."""
+    from neurallaplacecontrol_tpu.models import make_model
+
+    cfg = Config(encode_obs_time=True)
+    for env_name, n, m, hi in [("oderl-pendulum", 3, 1, 2.0),
+                               ("oderl-acrobot", 6, 2, 5.0)]:
+        for name in ("rnn", "delta_t_rnn", "node", "nl"):
+            model = make_model(name, env_name, n, m, hi, cfg, dtype=jnp.float64)
+            params = model.init(key)
+            out = model.apply(
+                params,
+                jnp.zeros((3, n)),
+                jnp.zeros((3, 4, m + 1)),
+                jnp.full((3, 1), 0.05),
+            )
+            assert out.shape == (3, n), (env_name, name)
+            assert bool(jnp.isfinite(out).all()), (env_name, name)

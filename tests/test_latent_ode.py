@@ -156,3 +156,23 @@ def test_dopri5_stats_and_decoder_nfes(key):
     ts_pred = jnp.full((2, 1), 0.05)
     nfes = model.decoder_nfes(params, obs, buf, ts_pred)
     assert int(nfes.min()) >= 7
+
+
+def test_predict_diff_per_row_horizons(key):
+    """Each batch row decodes at its OWN horizon: swapping a row's horizon
+    changes that row's output and only that row's."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from neurallaplacecontrol_tpu.models import make_model
+
+    model = make_model("latent_ode", "oderl-pendulum", 3, 1, 2.0, dtype=jnp.float64)
+    params = model.init(key)
+    obs = jnp.zeros((2, 4, 3)).at[..., 0].set(1.0)
+    act = jnp.zeros((2, 4, 1)) + 0.3
+    ts_a = jnp.asarray([[0.05], [0.05]])
+    ts_b = jnp.asarray([[0.05], [0.50]])  # row 1 horizon changes
+    out_a, _ = model.predict_diff(params, key, obs, act, ts_a)
+    out_b, _ = model.predict_diff(params, key, obs, act, ts_b)
+    np.testing.assert_allclose(np.asarray(out_a[0, 0]), np.asarray(out_b[0, 0]), atol=1e-12)
+    assert float(jnp.abs(out_a[0, 1] - out_b[0, 1]).max()) > 1e-6
