@@ -110,9 +110,12 @@ class CTRL:
         return load_pytree(path, template)
 
 
-def make_ctrl(env, dynamics: str, **overrides) -> CTRL:
+def make_ctrl(env, dynamics: str, learn_sigma: bool = False, **overrides) -> CTRL:
     """Factory mirroring CTRL.__init__/make_dynamics_model (ctrl.py:29-106)."""
     assert dynamics in DYNAMICS_FAMILIES, dynamics
+    unknown = set(overrides) - set(DEFAULTS)
+    if unknown:
+        raise TypeError(f"make_ctrl: unknown options {sorted(unknown)}")
     kw = {**DEFAULTS, **overrides}
     spec = env.spec
     n, m = spec.n_obs, spec.m  # observation-space dynamics (ctrl.py:23-27)
@@ -132,4 +135,4 @@ def make_ctrl(env, dynamics: str, **overrides) -> CTRL:
     g_net = make_mlp(n, m, n_hid_layers=kw["nl_g"], n_hidden=kw["nn_g"], act=kw["act_g"])
     V_net = make_mlp(n, 1, n_hid_layers=kw["nl_V"], n_hidden=kw["nn_V"], act=kw["act_V"])
     return CTRL(env=env, dynamics=dynamics, f_net=f_net, g_net=g_net,
-                V_net=V_net, n_ens=n_ens)
+                V_net=V_net, n_ens=n_ens, learn_sigma=learn_sigma)

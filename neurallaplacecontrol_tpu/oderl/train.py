@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import optax
 
 from .ctrl import CTRL
-from .dataset import Dataset, make_kernel_interpolate_policy
+from .dataset import Dataset, kernel_interpolate
 
 logger = logging.getLogger(__name__)
 
@@ -108,11 +108,16 @@ def train_pets(ctrl: CTRL, params, D: Dataset, key, n_iter: int = 500,
 
 def _sample_segments(D: Dataset, key, n_seg: int, W: int):
     """Random (trajectory, start) sub-windows of length W+1."""
+    if W + 1 > D.T:
+        raise ValueError(
+            f"segment window W+1={W + 1} exceeds trajectory length T={D.T} "
+            "(jax would clamp the gather and fabricate stationary tail data)"
+        )
     k1, k2 = jax.random.split(key)
     traj = jax.random.randint(k1, (n_seg,), 0, D.N)
     # start may reach D.T - 1 - W so the window [start, start+W] can cover
     # the trajectory tail (maxval is exclusive)
-    start = jax.random.randint(k2, (n_seg,), 0, max(1, D.T - W))
+    start = jax.random.randint(k2, (n_seg,), 0, D.T - W)
     idx = start[:, None] + jnp.arange(W + 1)[None]
     return (
         D.s[traj[:, None], idx],
@@ -142,20 +147,28 @@ def train_dynamics(ctrl: CTRL, params, D: Dataset, key, n_iter: int = 250,
 
     def loss_fn(params, k, s_seg, a_seg, ts_seg):
         ts_rel = ts_seg - ts_seg[:, :1]
-        gk = make_kernel_interpolate_policy(ts_rel, a_seg)
 
-        def g(s, t):
-            return jnp.broadcast_to(gk(None, t)[None], s.shape[:-1] + (spec.m,))
+        # simulate each segment on its OWN time grid (trajectories may carry
+        # irregular/non-identical grids; integrating everything on segment
+        # 0's grid would silently misalign targets)
+        def sim_one(k_row, s_row, a_row, ts_row):
+            def g(s, t):
+                a = kernel_interpolate(ts_row, a_row, jnp.reshape(t, (1,)))[0]
+                return jnp.broadcast_to(a, s.shape[:-1] + (spec.m,))
 
-        st_hat, _, _ = ctrl.forward_simulate(
-            params, k, ts_rel[0], s_seg[:, 0], g=g, L=L,
-            compute_rew=False, substeps=substeps,
-        )
+            st, _, _ = ctrl.forward_simulate(
+                params, k_row, ts_row, s_row[None, 0], g=g, L=L,
+                compute_rew=False, substeps=substeps,
+            )
+            return st[:, 0]  # [L, W, n]
+
+        keys = jax.random.split(k, s_seg.shape[0])
+        st_hat = jax.vmap(sim_one)(keys, s_seg, a_seg, ts_rel)  # [B, L, W, n]
         sn = jnp.exp(params["logsn"][:n])
-        sq = ((s_seg[None, :, :W] - st_hat) ** 2) / sn**2 / 2.0
+        sq = ((s_seg[:, None, :W] - st_hat) ** 2) / sn**2 / 2.0
         lhood = -sq - jnp.mean(params["logsn"][:n]) - 0.5 * jnp.log(2 * jnp.pi)
         mse = jnp.mean(sq)
-        loss = -jnp.sum(lhood) / st_hat.shape[0] + kl_w * ctrl.f_net.kl(params["f"])
+        loss = -jnp.sum(lhood) / st_hat.shape[1] + kl_w * ctrl.f_net.kl(params["f"])
         return loss, mse
 
     @jax.jit

@@ -50,17 +50,26 @@ def parse_log_file(path) -> list:
                 rec = ast.literal_eval(payload)
             except (ValueError, SyntaxError):
                 # literal_eval rejects nan/inf reprs — a DIVERGED run must
-                # still appear in the results, not silently vanish
-                if not payload.startswith("{"):
-                    continue
+                # still appear in the results, not silently vanish. Token
+                # substitution keeps this pure literal_eval (NEVER eval():
+                # log files are untrusted input).
+                import re
+
+                sub = re.sub(r"\b(nan|inf)\b", r"'__\1__'", payload)
+                sub = sub.replace("-'__inf__'", "'__ninf__'")
                 try:
-                    rec = eval(  # noqa: S307 — builtins stripped, names pinned
-                        payload,
-                        {"__builtins__": {}},
-                        {"nan": float("nan"), "inf": float("inf")},
-                    )
-                except Exception:
+                    rec = ast.literal_eval(sub)
+                except (ValueError, SyntaxError):
                     continue
+                sentinels = {
+                    "__nan__": float("nan"),
+                    "__inf__": float("inf"),
+                    "__ninf__": float("-inf"),
+                }
+                rec = {
+                    k: sentinels.get(v, v) if isinstance(v, str) else v
+                    for k, v in rec.items()
+                } if isinstance(rec, dict) else rec
             if isinstance(rec, dict):
                 records.append(rec)
     return records
@@ -89,8 +98,8 @@ def expand_records(records: Iterable[dict]) -> list:
     expand to one row per (task, seed)."""
     rows = []
     for r in records:
-        seeds = r.get("seeds", [None])
         rewards = r.get("total_rewards", [r.get("total_reward")])
+        seeds = r.get("seeds") or [None] * len(rewards)
         for s, tr in zip(seeds, rewards):
             rows.append(
                 {
@@ -116,14 +125,17 @@ def normalized_scores(records: Iterable[dict], clip: bool = True) -> dict:
         orac = by_task.get((delay, env, "oracle"))
         if rand and orac:
             return float(np.mean(rand)), float(np.mean(orac))
-        ref = REFERENCE_BASELINES.get(delay, {}).get(env)
-        if ref is None:
-            raise ValueError(f"No random/oracle baseline for delay={delay} env={env}")
-        return ref
+        # reference constants cover delays 0/1 only; cells with no usable
+        # baseline are SKIPPED (returning None) rather than crashing the
+        # whole summary after a long run
+        return REFERENCE_BASELINES.get(delay, {}).get(env)
 
     out = {}
     for (delay, env, model), vals in by_task.items():
-        r_rand, r_orac = baseline(delay, env)
+        ref = baseline(delay, env)
+        if ref is None:
+            continue
+        r_rand, r_orac = ref
         denom = r_orac - r_rand
         scores = [100.0 * (v - r_rand) / denom for v in vals]
         if clip:

@@ -27,6 +27,10 @@ def setup_logger(name: str, log_folder: str = "logs") -> logging.Logger:
         ],
         datefmt="%H:%M:%S",
         level=logging.INFO,
+        # basicConfig is a silent no-op once the root logger has handlers
+        # (e.g. a second setup_logger call in one process) — force replaces
+        # them so the per-run file handler always lands
+        force=True,
     )
     return logging.getLogger()
 

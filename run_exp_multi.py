@@ -53,6 +53,7 @@ def main(argv=None):
     delays = [int(d) for d in ns.delays.split(",")]
     models = ns.models.split(",")
     seeds = list(range(config.seed_start, config.seed_start + config.seed_runs))
+    run_records = []  # this run's records (the JSONL file is append-mode)
 
     trained = {}
     if config.retrain or config.force_retrain:
@@ -92,7 +93,8 @@ def main(argv=None):
                             model, params = trained[(env_name, delay, model_name)]
                         else:
                             model, params, _ = train_model(
-                                model_name, env_name, config, delay=delay, retrain=False
+                                model_name, env_name, config, delay=delay,
+                                retrain=False, model_seed=config.model_seed,
                             )
                         extra = dict(
                             model_apply=model if model_name == "latent_ode" else model.apply,
@@ -103,6 +105,7 @@ def main(argv=None):
                     )
                     r["errored"] = False
                     results.write(r)
+                    run_records.append(r)
                     logger.info(
                         "[Model Completed evaluation mppi] %s", {
                             k: r[k] for k in (
@@ -116,21 +119,25 @@ def main(argv=None):
                         "[eval FAILED %s %s d=%d]\n%s",
                         env_name, model_name, delay, traceback.format_exc(),
                     )
-                    results.write(
-                        {
-                            "model_name": model_name,
-                            "env_name": env_name,
-                            "delay": delay,
-                            "errored": True,
-                        }
-                    )
+                    rec = {
+                        "model_name": model_name,
+                        "env_name": env_name,
+                        "delay": delay,
+                        "errored": True,
+                    }
+                    results.write(rec)
+                    run_records.append(rec)
 
-    # summary table
+    # summary table over THIS run's records only (the results file is
+    # append-mode and may hold earlier runs with different configs)
     from neurallaplacecontrol_tpu.results.process import latex_table
 
-    recs = [r for r in results.read_all() if not r.get("errored")]
+    recs = [r for r in run_records if not r.get("errored")]
     if recs:
-        logger.info("Normalized-return table:\n%s", latex_table(recs))
+        try:
+            logger.info("Normalized-return table:\n%s", latex_table(recs))
+        except Exception:  # noqa: BLE001 — summary must not kill a finished run
+            logger.error("summary table failed\n%s", traceback.format_exc())
     logger.info("Fin.")
 
 
