@@ -11,4 +11,5 @@ from .rollout import (  # noqa: F401
 )
 from .eval import evaluate_policy, EVAL_MODELS  # noqa: F401
 from .train import train_model, make_optimizer, make_train_segment_fn  # noqa: F401,E402
+from .ensemble import train_model_ensemble  # noqa: F401
 from .sweep import SweepSpec, run_mppi_sweep  # noqa: F401

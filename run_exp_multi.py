@@ -26,7 +26,11 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent))
 
 from neurallaplacecontrol_tpu.config import Config, parse_args  # noqa: E402
-from neurallaplacecontrol_tpu.training import evaluate_policy, train_model  # noqa: E402
+from neurallaplacecontrol_tpu.training import (  # noqa: E402
+    evaluate_policy,
+    train_model,
+    train_model_ensemble,
+)
 from neurallaplacecontrol_tpu.utils.logging import JsonlWriter, setup_logger  # noqa: E402
 
 ENVIRONMENTS = ["oderl-pendulum", "oderl-cartpole", "oderl-acrobot"]
@@ -44,6 +48,11 @@ def main(argv=None):
     parser.add_argument(
         "--train_seconds", type=float, default=TRAIN_SECONDS_PER_MODEL
     )
+    parser.add_argument(
+        "--ensemble_delays", type=str, default="false",
+        help="train all requested delays of each (env, model) as one vmapped "
+        "parameter ensemble (training.ensemble) instead of sequentially",
+    )
     ns, rest = parser.parse_known_args(argv)
     config = parse_args(rest)
 
@@ -56,7 +65,34 @@ def main(argv=None):
     run_records = []  # this run's records (the JSONL file is append-mode)
 
     trained = {}
-    if config.retrain or config.force_retrain:
+    use_ensemble = ns.ensemble_delays.lower() == "true" and len(delays) > 1
+    if (config.retrain or config.force_retrain) and use_ensemble:
+        for env_name in envs:
+            for model_name in models:
+                if model_name in ("oracle", "random"):
+                    continue
+                try:
+                    t0 = time.time()
+                    out = train_model_ensemble(
+                        model_name, env_name, config, delays=delays,
+                        retrain=True, force_retrain=config.force_retrain,
+                        model_seed=config.model_seed,
+                        start_from_checkpoint=config.start_from_checkpoint,
+                        end_training_after_seconds=ns.train_seconds,
+                    )
+                    for delay, (model, params, res) in out.items():
+                        trained[(env_name, delay, model_name)] = (model, params)
+                        logger.info(
+                            "[trained %s %s d=%d] loss=%g (ensemble, %.0fs)",
+                            env_name, model_name, delay,
+                            res["best_val_loss"], time.time() - t0,
+                        )
+                except Exception:  # noqa: BLE001 — quarantine (:46-56)
+                    logger.error(
+                        "[train FAILED %s %s ensemble]\n%s",
+                        env_name, model_name, traceback.format_exc(),
+                    )
+    elif config.retrain or config.force_retrain:
         for env_name in envs:
             for delay in delays:
                 for model_name in models:
