@@ -24,8 +24,10 @@ weights (half-weighted k=0 term, cos/sin phases) — turning the per-term
 reduction into one more MXU matmul instead of a lane-crossing sum.
 
 The XLA path in ops.ilt stays the reference implementation; this kernel is
-validated against it in tests/test_pallas_ilt.py and enabled by
-models.nl.make_nl_model(use_pallas=True).
+validated against it in tests/test_pallas_ilt.py. The planner-path entry is
+``model.make_fused_planner_apply(params, t)`` on the model returned by
+models.nl.make_nl_model — it folds the fixed-contour query angles and the
+packed head weights into constants and returns an apply() drop-in.
 """
 
 from __future__ import annotations

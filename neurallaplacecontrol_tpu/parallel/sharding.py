@@ -41,32 +41,80 @@ def make_mesh(n_devices: Optional[int] = None, tp: int = 2) -> Mesh:
     return Mesh(arr, axis_names=("dp", "tp"))
 
 
-def nl_param_pspecs(params) -> dict:
-    """PartitionSpecs for NL-model params: shard the Laplace MLP's hidden
-    dimension over tp (layer0 output dim, layer1 both dims, layer2 input
-    dim); everything else replicated."""
+def _is_mlp_stack(node) -> bool:
+    """A list of >=2 linear-layer dicts ({"w": 2-D, "b": 1-D}) — the shape
+    models.common.mlp_init produces (NL's laplace_rep, NODE's ode_func)."""
+    return (
+        isinstance(node, (list, tuple))
+        and len(node) >= 2
+        and all(
+            isinstance(el, dict)
+            and set(el) == {"w", "b"}
+            and getattr(el["w"], "ndim", 0) == 2
+            for el in node
+        )
+    )
 
-    def replicate(tree):
-        return jax.tree_util.tree_map(lambda _: P(), tree)
 
-    specs = replicate(params)
-    if "laplace_rep" in params:
-        mlp = params["laplace_rep"]
-        mlp_specs = [dict(s) for s in replicate(mlp)]
-        if len(mlp) >= 3:
-            mlp_specs[0]["w"] = P(None, "tp")
-            mlp_specs[0]["b"] = P("tp")
-            mlp_specs[1]["w"] = P("tp", None)
-            mlp_specs[1]["b"] = P()
-            mlp_specs[2]["w"] = P(None, "tp")
-            mlp_specs[2]["b"] = P("tp")
-        specs = dict(specs)
-        specs["laplace_rep"] = mlp_specs
+def derive_param_pspecs(params, tp_size: int = 2) -> dict:
+    """Model-agnostic PartitionSpecs: every MLP stack in the tree gets
+    Megatron-style alternating column/row tensor parallelism over "tp"
+    (even layers shard the output dim + bias, odd layers shard the input
+    dim; XLA inserts the all-reduce after each row-parallel layer).
+    Everything else — GRU stacks (64-160 wide, not worth splitting gate
+    blocks), scalars, embeddings — is replicated, i.e. dp-only.
+
+    Layers whose to-be-sharded dim does not divide tp stay replicated.
+    Models with no MLP stack (rnn / delta_t_rnn) come back fully
+    replicated: data-parallel only, which make_sharded_train_step handles
+    identically (the batch still shards over dp); a log line records the
+    fallback.
+    """
+
+    def spec_for_stack(stack):
+        out = []
+        for i, layer in enumerate(stack):
+            w = layer["w"]
+            if i % 2 == 0 and w.shape[1] % tp_size == 0:
+                out.append({"w": P(None, "tp"), "b": P("tp")})
+            elif i % 2 == 1 and w.shape[0] % tp_size == 0:
+                out.append({"w": P("tp", None), "b": P()})
+            else:
+                out.append({"w": P(), "b": P()})
+        return out
+
+    found = [False]
+
+    def walk(node):
+        if _is_mlp_stack(node):
+            found[0] = True
+            return spec_for_stack(node)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return P()
+
+    specs = walk(params)
+    if not found[0]:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "derive_param_pspecs: no MLP stack found — params fully "
+            "replicated (dp-only training)"
+        )
     return specs
 
 
+def nl_param_pspecs(params) -> dict:
+    """Back-compat alias: the NL param tree's specs via the generic rule
+    (laplace_rep is the one MLP stack; encoder GRU replicated)."""
+    return derive_param_pspecs(params)
+
+
 def shard_params(params, mesh: Mesh):
-    specs = nl_param_pspecs(params)
+    tp = mesh.shape.get("tp", 1)
+    specs = derive_param_pspecs(params, tp_size=tp)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )
@@ -139,6 +187,11 @@ def make_k_sharded_mppi_command(cfg, params, dynamics_fn, running_cost_fn, mesh:
         hist = jnp.broadcast_to(action_buffer[1:][None], (K_local, A - 1, nu))
         full = jnp.concatenate([hist, scaled], axis=1)
         state0 = jnp.broadcast_to(obs[None], (K_local,) + obs.shape)
+        # obs is replicated, so state0 starts device-INVARIANT; the rollout
+        # scan's carry becomes varying after one dynamics step (per-shard
+        # actions), and shard_map's vma check rightly demands the initial
+        # carry match — promote it explicitly
+        state0 = jax.lax.pcast(state0, axis, to="varying")
 
         def rollout_step(state, t):
             # slice the window per step (planners/mppi_delay.py:150-157 —
@@ -166,10 +219,6 @@ def make_k_sharded_mppi_command(cfg, params, dynamics_fn, running_cost_fn, mesh:
         mesh=mesh,
         in_specs=(P(), P(), P(), P(("dp", "tp"))),
         out_specs=(P(), P()),
-        # the GRU scan inside the learned dynamics initializes its carry
-        # from a replicated zero while xs are per-shard; disable the
-        # varying-manual-axes check rather than pcast-ing inside the model
-        check_vma=False,
     )
 
     def command(U, obs, action_buffer, key):

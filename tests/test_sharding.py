@@ -49,6 +49,68 @@ def test_mesh_shape():
     assert mesh.axis_names == ("dp", "tp")
 
 
+def test_derive_param_pspecs_covers_model_families():
+    """nl + node expose their MLP stacks to tp; rnn falls back to dp-only."""
+    from jax.sharding import PartitionSpec as P
+
+    from neurallaplacecontrol_tpu.parallel.sharding import derive_param_pspecs
+
+    nl = make_model("nl", "oderl-cartpole", 5, 1, 3.0, Config())
+    specs = derive_param_pspecs(nl.init(jax.random.PRNGKey(0)))
+    assert specs["laplace_rep"][0]["w"] == P(None, "tp")
+    assert specs["laplace_rep"][1]["w"] == P("tp", None)
+    assert specs["laplace_rep"][2]["w"] == P(None, "tp")
+    assert all(s == P() for s in jax.tree_util.tree_leaves(
+        specs["encoder"], is_leaf=lambda x: isinstance(x, P)))
+
+    node = make_model("node", "oderl-cartpole", 5, 1, 3.0, Config())
+    specs = derive_param_pspecs(node.init(jax.random.PRNGKey(0)))
+    assert specs["ode_func"][0]["w"] == P(None, "tp")
+    assert specs["ode_func"][1]["w"] == P("tp", None)
+
+    rnn = make_model("rnn", "oderl-cartpole", 5, 1, 3.0, Config())
+    specs = derive_param_pspecs(rnn.init(jax.random.PRNGKey(0)))
+    assert all(s == P() for s in jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda x: isinstance(x, P)))
+
+
+@pytest.mark.parametrize("model_name", ["rnn", "node"])
+def test_sharded_train_step_other_families(model_name):
+    """The mesh training step is model-agnostic: tp shards node's ode_func
+    MLP, rnn trains dp-only — both must match single-device numerics with
+    the vma check enabled."""
+    model = make_model(model_name, "oderl-cartpole", 5, 1, 3.0, Config())
+    params = model.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(2)
+    B = 32
+    s0 = jax.random.normal(key, (B, 5), jnp.float32)
+    a0 = jax.random.normal(jax.random.fold_in(key, 1), (B, 4, 1), jnp.float32)
+    sn = s0 + 0.01
+    ts = jnp.full((B, 1), 0.05, jnp.float32)
+    optimizer = optax.chain(optax.clip_by_global_norm(0.1), optax.adam(1e-4))
+
+    @jax.jit
+    def ref_step(p, o):
+        def loss_fn(p):
+            pred = model.apply(p, s0, a0, ts)
+            return jnp.mean((pred - (sn - s0)) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = optimizer.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    p_ref, _, loss_ref = ref_step(params, optimizer.init(params))
+
+    mesh = make_mesh(8, tp=2)
+    params_sh = shard_params(params, mesh)
+    step = make_sharded_train_step(model.apply, optimizer, mesh)
+    p_sh, _, loss_sh = step(params_sh, optimizer.init(params_sh), s0, a0, sn, ts)
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(jax.device_get(p_sh))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+
+
 def test_sharded_train_step_matches_single_device():
     model, params, (s0, a0, sn, ts) = _model_and_batch()
     optimizer = optax.chain(optax.clip_by_global_norm(0.1), optax.adam(1e-4))
