@@ -1,0 +1,79 @@
+"""Enforced lint gate (stdlib-only subset of .pre-commit-config.yaml).
+
+The full gate is ruff + pre-commit (pyproject [tool.ruff]); this test keeps
+the mechanically-checkable hygiene rules green in environments that have
+neither tool installed: every source file must parse (check-ast), carry no
+debug statements (debug-statements), no merge-conflict markers
+(check-merge-conflict), no trailing whitespace, no tabs in Python source,
+and end with exactly one newline (end-of-file-fixer). Mirrors the
+reference's quality gate, .pre-commit-config.yaml:1-48.
+"""
+
+from __future__ import annotations
+
+import ast
+import io
+import tokenize
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+SOURCE_DIRS = ["neurallaplacecontrol_tpu", "tests", "scripts"]
+TOP_LEVEL = ["run_exp_multi.py", "bench.py", "__graft_entry__.py"]
+
+_DEBUG_CALLS = {"breakpoint"}
+_DEBUG_MODULES = {"pdb", "ipdb", "pudb"}
+_CONFLICT_MARKERS = ("<" * 7 + " ", "=" * 7 + "\n", ">" * 7 + " ")
+
+
+def python_files():
+    files = [REPO / f for f in TOP_LEVEL]
+    for d in SOURCE_DIRS:
+        files.extend(sorted((REPO / d).rglob("*.py")))
+    return [f for f in files if f.is_file()]
+
+
+@pytest.mark.parametrize("path", python_files(), ids=lambda p: str(p.relative_to(REPO)))
+def test_source_hygiene(path):
+    text = path.read_text()
+
+    # check-ast
+    tree = ast.parse(text, filename=str(path))
+
+    # debug-statements: no pdb/ipdb imports, no breakpoint() calls
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            mods = {a.name.split(".")[0] for a in node.names}
+            assert not (mods & _DEBUG_MODULES), f"{path}: debug import {mods}"
+        elif isinstance(node, ast.ImportFrom) and node.module:
+            assert node.module.split(".")[0] not in _DEBUG_MODULES, (
+                f"{path}:{node.lineno}: debug import {node.module}"
+            )
+        elif isinstance(node, ast.Call) and isinstance(node.func, ast.Name):
+            assert node.func.id not in _DEBUG_CALLS, (
+                f"{path}:{node.lineno}: {node.func.id}() left in source"
+            )
+
+    # check-merge-conflict
+    for i, line in enumerate(text.splitlines(keepends=True), 1):
+        assert not line.startswith(_CONFLICT_MARKERS), f"{path}:{i}: conflict marker"
+
+    # trailing whitespace + tabs (black/ruff-format would strip both)
+    for i, line in enumerate(text.splitlines(), 1):
+        assert line == line.rstrip(), f"{path}:{i}: trailing whitespace"
+        assert "\t" not in line, f"{path}:{i}: tab character"
+
+    # end-of-file-fixer: exactly one trailing newline
+    assert text.endswith("\n") and not text.endswith("\n\n"), (
+        f"{path}: must end with exactly one newline"
+    )
+
+    # mixed-line-ending
+    assert "\r" not in text, f"{path}: CR line endings"
+
+
+@pytest.mark.parametrize("path", python_files(), ids=lambda p: str(p.relative_to(REPO)))
+def test_no_syntax_warnings(path):
+    """Tokenize cleanly — catches invalid escape sequences etc."""
+    list(tokenize.generate_tokens(io.StringIO(path.read_text()).readline))
