@@ -79,6 +79,10 @@ class Config:
     mppi_time_steps: int = 40
     mppi_lambda: float = 1.0
     mppi_sigma: float = 1.0
+    # run the NL planner dynamics through the single fused Pallas kernel
+    # (ops.pallas_nl; TPU only, fourier ILT only — see scripts/bench_pallas.py
+    # for the measured speedup); training still uses the XLA apply
+    fused_nl_planner: bool = False
 
     # episode / env protocol
     encode_obs_time: bool = False

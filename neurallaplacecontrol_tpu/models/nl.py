@@ -131,57 +131,38 @@ def make_nl_model(
     model = DynamicsModel(name="nl", init=init, apply=apply)
 
     def make_fused_planner_apply(params, t: float):
-        """Planner-specialized forward with the fused Pallas head
-        (ops.pallas_ilt): valid when every query shares one horizon ``t``
-        (the planner's ts_pred is a constant dt vector,
-        mppi_with_model.py:74). The sphere query angles for the fixed
-        contour are folded into constants and the final linear layer + ILT
-        combine run as one VMEM-resident kernel.
-
-        Measured on v5e the fused head is at parity with XLA's own fusion
-        for these dims (the head is tiny; XLA already reaches the roofline)
-        — kept as the template for scaled-up Laplace heads.
+        """Planner-specialized forward as ONE fused Pallas kernel
+        (ops.pallas_nl): reverse-GRU + encoder head + trunk MLP + theta/phi
+        head + Fourier-ILT combine, entirely VMEM-resident per batch tile.
+        Valid when every query shares one horizon ``t`` (the planner's
+        ts_pred is a constant dt vector, mppi_with_model.py:74) and only for
+        ilt_algorithm='fourier'. Normalizations and the fixed contour are
+        folded into the packed weights, so the kernel consumes RAW obs and
+        action buffers — the planner-loop forward is a single device op
+        instead of ~15 (see scripts/bench_pallas.py for measurements).
         """
-        from ..ops.ilt import ilt_query_points
-        from ..ops.pallas_ilt import nl_head_fused, pack_head_weights
-        from ..ops.sphere import complex_to_spherical
+        from ..ops.pallas_nl import nl_forward_fused, pack_nl_forward
 
+        assert ilt_algorithm == "fourier", "fused planner path is fourier-only"
         t_model = t / (dt * 8.0) if (normalize and normalize_time) else t
         t_model = max(t_model, 2.5e-3)
-        s = ilt_query_points(jnp.asarray([t_model], jnp.float32), s_recon_terms)
-        theta_s, phi_s = complex_to_spherical(s)
-        theta_s, phi_s = theta_s[0], phi_s[0]
-        mlp = params["laplace_rep"]
-        packed = pack_head_weights(
-            mlp[-1]["w"], mlp[-1]["b"], state_dim, s_recon_terms, t_model
+        in_dim = gru_in
+        packed = pack_nl_forward(
+            params, t_model, state_dim, action_dim, s_recon_terms,
+            state_mean, state_std, action_mean, action_std,
+            normalize=normalize, encode_obs_time=encode_obs_time,
         )
 
         def apply_fused(p_ignored, obs, action_buffer, ts):
             """Signature-compatible with model.apply, but the ENTIRE
-            parameter set (encoder, MLP trunk, fused head) is bound at
-            specialization time — the first argument is ignored so updated
-            params can never silently mix with the frozen packed head
-            (re-specialize after a parameter update instead)."""
+            parameter set is bound (packed) at specialization time — the
+            first argument is ignored so updated params can never silently
+            mix with the frozen packed weights (re-specialize after a
+            parameter update instead)."""
             del p_ignored, ts  # fixed at specialization time
-            obs_n = (obs - state_mean) / state_std if normalize else obs
-            act_n = _norm_actions(action_buffer)
-            rev = jnp.flip(act_n, axis=1)
-            h = gru_apply(params["encoder"]["gru"], rev)
-            p_action = linear_apply(params["encoder"]["out"], h)
-            lat = jnp.concatenate([obs_n, p_action], axis=-1)
-            B = lat.shape[0]
-            x = jnp.concatenate(
-                [
-                    jnp.broadcast_to(theta_s[None], (B, s_recon_terms)),
-                    jnp.broadcast_to(phi_s[None], (B, s_recon_terms)),
-                    lat,
-                ],
-                axis=-1,
-            )
-            hidden = x
-            for layer in params["laplace_rep"][:-1]:
-                hidden = jnp.tanh(linear_apply(layer, hidden))
-            return nl_head_fused(hidden, packed, state_dim)
+            B, A = action_buffer.shape[0], action_buffer.shape[1]
+            acts_flat = action_buffer.reshape(B, A * in_dim)
+            return nl_forward_fused(obs, acts_flat, packed, state_dim, in_dim)
 
         return apply_fused
 

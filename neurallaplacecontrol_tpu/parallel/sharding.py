@@ -144,90 +144,64 @@ def make_sharded_train_step(model_apply: Callable, optimizer, mesh: Mesh):
     return step
 
 
-def make_k_sharded_mppi_command(cfg, params, dynamics_fn, running_cost_fn, mesh: Mesh):
+def make_k_sharded_mppi_command(
+    cfg,
+    params,
+    dynamics_fn,
+    running_cost_fn,
+    mesh: Mesh,
+    terminal_state_cost=None,
+    dynamics_carry_init=None,
+):
     """MPPI command with the K rollout batch sharded over every mesh device.
 
-    Inside ``shard_map`` each device owns K/n rollouts; the softmax
-    normalization needs two collectives (pmin for beta, psum for eta and the
-    weighted noise sum) which ride ICI. Numerically identical to the
-    single-chip planners.mppi_delay.mppi_command for the same per-shard
-    noise draws.
+    Inside ``shard_map`` each device owns K/n rollouts and runs the SAME
+    planning code as the single chip — planners.mppi_delay.mppi_command_core
+    with ``axis`` set, so every planner feature flag (null action, abs-noise
+    cost, encode_obs_time, M-samples + variance cost, step-dependent
+    dynamics, u_per_command, terminal cost, carried dynamics) is supported
+    identically. The softmax normalization needs three collectives (pmin for
+    beta, psum for eta and the weighted noise sum) which ride ICI.
+    Numerically identical to the single-chip command for the same noise
+    draw: the [K, T, nu] noise tensor is sampled globally and sharded by
+    ``in_specs``, so sharded-vs-single results match to reduction rounding.
+
+    Returned signature matches mppi_command minus the key-internal noise:
+    ``command(U, obs, action_buffer, key, time_buffer=None, cost_args=())
+    -> (action, U_new, aux)`` with aux's per-rollout fields K-sharded.
     """
     n_dev = mesh.devices.size
     assert cfg.num_samples % n_dev == 0, "K must divide the device count"
-    # the sharded rollout implements the DEFAULT planner configuration; the
-    # extended feature flags of mppi_command are not wired here — fail loud
-    # rather than silently diverge from the single-chip baseline
-    unsupported = {
-        "sample_null_action": cfg.sample_null_action,
-        "noise_abs_cost": cfg.noise_abs_cost,
-        "encode_obs_time": cfg.encode_obs_time,
-        "rollout_samples>1": cfg.rollout_samples > 1,
-        "rollout_var_cost": cfg.rollout_var_cost != 0.0,
-        "step_dependent_dynamics": cfg.step_dependent_dynamics,
-        "u_per_command>1": cfg.u_per_command > 1,
-    }
-    bad = [k for k, v in unsupported.items() if v]
-    if bad:
-        raise NotImplementedError(
-            f"K-sharded MPPI does not implement: {bad}; use the single-chip "
-            "planners.mppi_delay.mppi_command (vmap/shard the caller instead)"
+    axis = tuple(mesh.axis_names)
+
+    def local_command(U, obs, action_buffer, time_buffer, noise_local, cost_args):
+        from ..planners.mppi_delay import mppi_command_core
+
+        return mppi_command_core(
+            cfg, params, dynamics_fn, running_cost_fn,
+            U, obs, action_buffer, noise_local,
+            terminal_state_cost=terminal_state_cost,
+            dynamics_carry_init=dynamics_carry_init,
+            time_buffer=time_buffer,
+            cost_args=cost_args,
+            axis=axis,
         )
-    axis = ("dp", "tp")
-
-    def local_command(U, obs, action_buffer, noise_local):
-        K_local, T, nu = noise_local.shape
-        A = action_buffer.shape[0]
-        perturbed = U[None] + noise_local
-        perturbed = jnp.clip(perturbed * cfg.u_scale, cfg.u_min, cfg.u_max) / cfg.u_scale
-        noise_local = perturbed - U[None]
-        action_cost = cfg.lambda_ * noise_local @ params.noise_sigma_inv
-
-        scaled = perturbed * cfg.u_scale
-        hist = jnp.broadcast_to(action_buffer[1:][None], (K_local, A - 1, nu))
-        full = jnp.concatenate([hist, scaled], axis=1)
-        state0 = jnp.broadcast_to(obs[None], (K_local,) + obs.shape)
-        # obs is replicated, so state0 starts device-INVARIANT; the rollout
-        # scan's carry becomes varying after one dynamics step (per-shard
-        # actions), and shard_map's vma check rightly demands the initial
-        # carry match — promote it explicitly
-        state0 = jax.lax.pcast(state0, axis, to="varying")
-
-        def rollout_step(state, t):
-            # slice the window per step (planners/mppi_delay.py:150-157 —
-            # a pre-gathered [T, K, A, nu] tensor spills at large K, the
-            # regime this sharded path exists for)
-            window = jax.lax.dynamic_slice_in_dim(full, t, A, axis=1)
-            state = dynamics_fn(state, window)
-            return state, running_cost_fn(state, window[:, -1, :])
-
-        _, costs = jax.lax.scan(rollout_step, state0, jnp.arange(T))
-        cost = jnp.sum(costs, axis=0) + jnp.sum(U[None] * action_cost, axis=(1, 2))
-
-        beta = jax.lax.pmin(jnp.min(cost), axis)
-        w = jnp.exp(-(cost - beta) / cfg.lambda_)
-        eta = jax.lax.psum(jnp.sum(w), axis)
-        omega = w / eta
-        dU = jax.lax.psum(jnp.sum(omega[:, None, None] * noise_local, axis=0), axis)
-        U_new = U + dU
-        return U_new, U_new[0] * cfg.u_scale
 
     from jax import shard_map
 
     sharded = shard_map(
         local_command,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(("dp", "tp"))),
-        out_specs=(P(), P()),
+        in_specs=(P(), P(), P(), P(), P(axis), P()),
+        out_specs=(P(), P(), {"cost_total": P(axis), "omega": P(axis)}),
     )
 
-    def command(U, obs, action_buffer, key):
+    def command(U, obs, action_buffer, key, time_buffer=None, cost_args=()):
         z = jax.random.normal(
             key, (cfg.num_samples, cfg.horizon, cfg.nu), dtype=params.noise_chol.dtype
         )
         noise = z @ params.noise_chol.T
         U = jnp.roll(U, -1, axis=0).at[-1].set(params.u_init)
-        U_new, action = sharded(U, obs, action_buffer, noise)
-        return action, U_new
+        return sharded(U, obs, action_buffer, time_buffer, noise, cost_args)
 
     return command

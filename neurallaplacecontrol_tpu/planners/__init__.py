@@ -7,5 +7,6 @@ from .mppi_delay import (  # noqa: F401
     default_noise_sigma,
     mppi_reset,
     mppi_command,
+    mppi_command_core,
     mppi_rollout_states,
 )

@@ -106,38 +106,57 @@ def _sample_noise(key, cfg: MPPIConfig, params: MPPIParams) -> jnp.ndarray:
     return z @ params.noise_chol.T
 
 
-def mppi_command(
+def _pvary(x, axis):
+    """Promote x to device-varying over ``axis`` names it isn't varying on
+    yet (``lax.pcast`` itself rejects already-varying inputs)."""
+    names = axis if isinstance(axis, tuple) else (axis,)
+    vma = getattr(jax.typeof(x), "vma", frozenset())
+    missing = tuple(n for n in names if n not in vma)
+    return jax.lax.pcast(x, missing, to="varying") if missing else x
+
+
+def mppi_command_core(
     cfg: MPPIConfig,
     params: MPPIParams,
     dynamics_fn: Callable,  # (state [K,nx], action_window [K,A,nu]) -> [K,nx]
-    running_cost_fn: Callable,  # (state [K,nx], action [K,nu]) -> cost [K]
-    U: jnp.ndarray,  # [T, nu] carry
+    running_cost_fn: Callable,  # (state [K,nx], action [K,nu], *cost_args) -> [K]
+    U: jnp.ndarray,  # [T, nu] — ALREADY receding-horizon shifted
     obs: jnp.ndarray,  # [nx] current observation
     action_buffer: jnp.ndarray,  # [A, nu] action history (env units)
-    key: jax.Array,
+    noise: jnp.ndarray,  # [K(_local), T, nu] pre-sampled noise
     terminal_state_cost: Optional[Callable] = None,
     dynamics_carry_init: Optional[Callable] = None,
     time_buffer: Optional[jnp.ndarray] = None,  # [A] ages, encode_obs_time
+    cost_args: tuple = (),  # extra replicated args for running_cost_fn
+    axis=None,  # collective axis name(s) when running inside shard_map
 ):
-    """One planning step. Returns (action [nu] in env units, new U, aux).
+    """The planning step given pre-sampled noise (steps 2-7 of the module
+    docstring, minus the U shift and the noise draw).
 
-    If ``dynamics_carry_init`` is given, the dynamics closure is stateful
-    within the rollout: ``carry0 = dynamics_carry_init(state0)`` and
-    ``dynamics_fn(carry, state, window) -> (carry, next_state)`` — used by
-    history-conditioned models like the latent-ODE
-    (models.latent_ode.make_carried_dynamics).
+    With ``axis=None`` this is the complete single-chip computation. Inside
+    ``shard_map`` (parallel.sharding.make_k_sharded_mppi_command) the SAME
+    code runs per device on its K/n-slice of ``noise``; the three softmax
+    reductions become ``pmin``/``psum`` collectives and the null-action row
+    is pinned to the globally-last rollout — every planner feature flag
+    (sample_null_action, noise_abs_cost, encode_obs_time, M-samples,
+    variance cost, step-dependent dynamics, u_per_command, terminal cost,
+    carried dynamics) behaves identically in both regimes because it IS the
+    same code.
     """
-    K, T, nu = cfg.num_samples, cfg.horizon, cfg.nu
+    T, nu = cfg.horizon, cfg.nu
+    K = noise.shape[0]  # local K inside shard_map, global K otherwise
     A = action_buffer.shape[0]
 
-    # 1. receding horizon shift
-    U = jnp.roll(U, -1, axis=0).at[-1].set(params.u_init)
-
-    # 2. sample, bound, recompute noise (:319-328)
-    noise = _sample_noise(key, cfg, params)
+    # 2. bound, recompute noise (:319-328); noise arrives pre-sampled
     perturbed = U[None] + noise
     if cfg.sample_null_action:
-        perturbed = perturbed.at[K - 1].set(0.0)
+        if axis is None:
+            perturbed = perturbed.at[K - 1].set(0.0)
+        else:
+            # zero the globally-last rollout: last local row of the last shard
+            n_shards = cfg.num_samples // K
+            last = (jnp.arange(K) == K - 1) & (jax.lax.axis_index(axis) == n_shards - 1)
+            perturbed = jnp.where(last[:, None, None], 0.0, perturbed)
     perturbed = jnp.clip(perturbed * cfg.u_scale, cfg.u_min, cfg.u_max) / cfg.u_scale
     noise = perturbed - U[None]
 
@@ -164,6 +183,11 @@ def mppi_command(
     # costs reshape to [M, K] for the mean/variance aggregation.
     M = cfg.rollout_samples
     state0 = jnp.broadcast_to(obs[None], (M * K,) + obs.shape)
+    if axis is not None:
+        # obs is replicated, so state0 starts device-INVARIANT; the rollout
+        # carry becomes varying after one dynamics step (per-shard actions)
+        # and shard_map's vma check rightly demands the initial carry match
+        state0 = _pvary(state0, axis)
 
     def tile_window(window):
         return window if M == 1 else jnp.tile(window, (M, 1, 1))
@@ -201,6 +225,8 @@ def mppi_command(
     )
 
     var0 = jnp.zeros((K,), state0.dtype)
+    if axis is not None and M > 1:
+        var0 = _pvary(var0, axis)  # accumulates varying costs
     tidx = jnp.arange(T)
     # per-step states are only materialized when a terminal cost consumes
     # them — recording [T, M*K, nx] through the scan costs an HBM write per
@@ -218,7 +244,7 @@ def mppi_command(
             ages = step_ages(ages)
             state = call_dynamics(state, tile_window(augment_window(window, ages)), t)
             u = tile_window(window)[:, -1, :]  # current executed action (:288)
-            c = running_cost_fn(state, u)
+            c = running_cost_fn(state, u, *cost_args)
             c, cost_var = cost_stats(c, t, cost_var)
             return (state, ages, cost_var), outputs(c, state)
 
@@ -236,13 +262,20 @@ def mppi_command(
                 dyn_carry, state = dynamics_fn(dyn_carry, state, w, t)
             else:
                 dyn_carry, state = dynamics_fn(dyn_carry, state, w)
-            c = running_cost_fn(state, tile_window(window)[:, -1, :])
+            c = running_cost_fn(state, tile_window(window)[:, -1, :], *cost_args)
             c, cost_var = cost_stats(c, t, cost_var)
             return (dyn_carry, state, ages, cost_var), outputs(c, state)
 
+        dyn_carry0 = dynamics_carry_init(state0)
+        if axis is not None:
+            # a carry built from zeros/constants starts invariant even though
+            # the rollout makes it varying — promote every leaf
+            dyn_carry0 = jax.tree_util.tree_map(
+                lambda x: _pvary(x, axis), dyn_carry0
+            )
         (_, _, _, cost_var), (costs, states) = lax.scan(
             rollout_step_carried,
-            (dynamics_carry_init(state0), state0, ages0, var0),
+            (dyn_carry0, state0, ages0, var0),
             tidx,
         )
     cost_total = jnp.sum(costs, axis=0)  # [K]
@@ -265,11 +298,19 @@ def mppi_command(
     # 5. perturbation cost (:343-344)
     cost_total = cost_total + jnp.sum(U[None] * action_cost, axis=(1, 2))
 
-    # 6. softmax weighting + control update (:210-216)
-    beta = jnp.min(cost_total)
-    weights = jnp.exp(-(cost_total - beta) / cfg.lambda_)
-    omega = weights / jnp.sum(weights)
-    U = U + jnp.sum(omega[:, None, None] * noise, axis=0)
+    # 6. softmax weighting + control update (:210-216); under sharding the
+    # three reductions are the only cross-device communication of the whole
+    # planning step — two scalars (pmin, psum) and one [T, nu] psum on ICI
+    if axis is None:
+        beta = jnp.min(cost_total)
+        weights = jnp.exp(-(cost_total - beta) / cfg.lambda_)
+        omega = weights / jnp.sum(weights)
+        U = U + jnp.sum(omega[:, None, None] * noise, axis=0)
+    else:
+        beta = jax.lax.pmin(jnp.min(cost_total), axis)
+        weights = jnp.exp(-(cost_total - beta) / cfg.lambda_)
+        omega = weights / jax.lax.psum(jnp.sum(weights), axis)
+        U = U + jax.lax.psum(jnp.sum(omega[:, None, None] * noise, axis=0), axis)
 
     # 7. leading action(s), env units (:217-224)
     if cfg.u_per_command == 1:
@@ -278,6 +319,40 @@ def mppi_command(
         action = U[: cfg.u_per_command] * cfg.u_scale
     aux = {"cost_total": cost_total, "omega": omega}
     return action, U, aux
+
+
+def mppi_command(
+    cfg: MPPIConfig,
+    params: MPPIParams,
+    dynamics_fn: Callable,  # (state [K,nx], action_window [K,A,nu]) -> [K,nx]
+    running_cost_fn: Callable,  # (state [K,nx], action [K,nu]) -> cost [K]
+    U: jnp.ndarray,  # [T, nu] carry
+    obs: jnp.ndarray,  # [nx] current observation
+    action_buffer: jnp.ndarray,  # [A, nu] action history (env units)
+    key: jax.Array,
+    terminal_state_cost: Optional[Callable] = None,
+    dynamics_carry_init: Optional[Callable] = None,
+    time_buffer: Optional[jnp.ndarray] = None,  # [A] ages, encode_obs_time
+    cost_args: tuple = (),
+):
+    """One planning step. Returns (action [nu] in env units, new U, aux).
+
+    If ``dynamics_carry_init`` is given, the dynamics closure is stateful
+    within the rollout: ``carry0 = dynamics_carry_init(state0)`` and
+    ``dynamics_fn(carry, state, window) -> (carry, next_state)`` — used by
+    history-conditioned models like the latent-ODE
+    (models.latent_ode.make_carried_dynamics).
+    """
+    # 1. receding horizon shift
+    U = jnp.roll(U, -1, axis=0).at[-1].set(params.u_init)
+    noise = _sample_noise(key, cfg, params)
+    return mppi_command_core(
+        cfg, params, dynamics_fn, running_cost_fn, U, obs, action_buffer, noise,
+        terminal_state_cost=terminal_state_cost,
+        dynamics_carry_init=dynamics_carry_init,
+        time_buffer=time_buffer,
+        cost_args=cost_args,
+    )
 
 
 def mppi_rollout_states(

@@ -44,11 +44,18 @@ def evaluate_policy(
     save_video: Optional[bool] = None,
     profile_trace_dir: Optional[str] = None,
     shard_seeds: bool = False,
+    shard_rollouts: bool = False,
 ) -> dict:
     """Run one episode per seed; returns the reference's result dict fields
     plus per-seed returns.
 
     total_reward is rescaled by 200/n_steps (mppi_with_model.py:301).
+
+    ``shard_rollouts`` runs the planner K-sharded over ALL devices
+    (parallel.sharding.make_k_sharded_mppi_command inside the episode scan)
+    — the big-K regime of the reference's sweep (mppi_optim.yaml:12, K up
+    to 262144). Episodes then run sequentially per seed (the rollout batch
+    already owns every device). Mutually exclusive with shard_seeds.
     """
     assert model_name in EVAL_MODELS, model_name
     seeds = list(seeds)  # consumed more than once below
@@ -95,6 +102,25 @@ def evaluate_policy(
             "learned models need model_apply/params (train first; "
             "training.train.train_model returns them)"
         )
+        if (
+            model_name == "nl"
+            and config.fused_nl_planner
+            and config.nl_ilt_algorithm == "fourier"
+        ):
+            # swap the planner-path forward for the single fused Pallas
+            # kernel (ops.pallas_nl). The model structure is rebuilt from
+            # config (same factory => same param tree) to reach the
+            # specializer; planner queries share the fixed horizon dt.
+            from ..models import make_model
+
+            m = make_model(
+                "nl", env_name, spec.n_obs, spec.m, spec.action_high, config,
+                dtype=jnp.float32,
+            )
+            f32_params = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.float32), params
+            )
+            model_apply = m.make_fused_planner_apply(f32_params, dt)
         dynamics = build_learned_dynamics(
             env, model_apply, params, roll_outs, dt,
             action_buffer_size=config.action_buffer_size,
@@ -111,30 +137,71 @@ def evaluate_policy(
         change_goal=change_goal,
     )
 
-    episode_batch = make_batched_episode_fn(
-        env, dynamics, mppi_cfg, mppi_params, settings,
-        dynamics_carry_init=dynamics_carry_init,
-    )
+    command_fn = None
+    if shard_rollouts and model_name != "random":
+        assert not shard_seeds, "shard_rollouts and shard_seeds are exclusive"
+        from jax.sharding import Mesh
+
+        from ..parallel import make_k_sharded_mppi_command
+        from .rollout import build_goal_running_cost, build_running_cost
+
+        mesh = Mesh(np.asarray(jax.devices()), axis_names=("k",))
+        cost_fn = (
+            build_goal_running_cost(env)
+            if change_goal
+            else build_running_cost(env, state_constraint=state_constraint)
+        )
+        command_fn = make_k_sharded_mppi_command(
+            mppi_cfg, mppi_params, dynamics, cost_fn, mesh,
+            dynamics_carry_init=dynamics_carry_init,
+        )
+
     keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
-    if shard_seeds and len(jax.devices()) > 1 and keys.shape[0] % len(jax.devices()) == 0:
-        # spread independent seed-episodes across the chip mesh — the
-        # multi-chip replacement for the reference's 12-worker eval pool
-        # (run_exp_multi.py:144-165); XLA partitions the vmapped episode
-        # batch along the sharded key axis, no collectives needed.
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    if command_fn is not None:
+        # K-sharded planner: the rollout batch spans every device, so seed
+        # episodes run sequentially (each one saturates the mesh). A vmap
+        # over the embedded shard_map would nest batching over manual
+        # collectives — sequential is the supported composition.
+        from .rollout import make_episode_fn
 
-        mesh = Mesh(np.asarray(jax.devices()), axis_names=("seeds",))
-        keys = jax.device_put(keys, NamedSharding(mesh, P("seeds")))
+        episode = jax.jit(make_episode_fn(
+            env, dynamics, mppi_cfg, mppi_params, settings,
+            dynamics_carry_init=dynamics_carry_init, command_fn=command_fn,
+        ))
+        compiled = episode.lower(keys[0]).compile()
+        t0 = time.perf_counter()
+        with profile_trace(profile_trace_dir):
+            outs = []
+            for i in range(keys.shape[0]):
+                outs.append(compiled(keys[i]))
+            jax.block_until_ready(outs)
+        elapsed = time.perf_counter() - t0
+        totals = jnp.stack([o[0] for o in outs])
+        records = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[o[1] for o in outs])
+    else:
+        episode_batch = make_batched_episode_fn(
+            env, dynamics, mppi_cfg, mppi_params, settings,
+            dynamics_carry_init=dynamics_carry_init,
+        )
+        if shard_seeds and len(jax.devices()) > 1 and keys.shape[0] % len(jax.devices()) == 0:
+            # spread independent seed-episodes across the chip mesh — the
+            # multi-chip replacement for the reference's 12-worker eval pool
+            # (run_exp_multi.py:144-165); XLA partitions the vmapped episode
+            # batch along the sharded key axis, no collectives needed.
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    # AOT-compile outside the timed region so the reported throughput
-    # measures execution, not the (60-120 s on this TPU) first compile —
-    # otherwise sweep trials with fresh shapes are incomparable
-    compiled = episode_batch.lower(keys).compile()
-    t0 = time.perf_counter()
-    with profile_trace(profile_trace_dir):
-        totals, records = compiled(keys)
-        totals.block_until_ready()
-    elapsed = time.perf_counter() - t0
+            mesh = Mesh(np.asarray(jax.devices()), axis_names=("seeds",))
+            keys = jax.device_put(keys, NamedSharding(mesh, P("seeds")))
+
+        # AOT-compile outside the timed region so the reported throughput
+        # measures execution, not the (60-120 s on this TPU) first compile —
+        # otherwise sweep trials with fresh shapes are incomparable
+        compiled = episode_batch.lower(keys).compile()
+        t0 = time.perf_counter()
+        with profile_trace(profile_trace_dir):
+            totals, records = compiled(keys)
+            totals.block_until_ready()
+        elapsed = time.perf_counter() - t0
 
     video_path = None
     if config.save_video if save_video is None else save_video:

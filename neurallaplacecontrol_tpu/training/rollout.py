@@ -135,11 +135,18 @@ def make_episode_fn(
     mppi_params: MPPIParams,
     settings: EpisodeSettings,
     dynamics_carry_init: Optional[Callable] = None,
+    command_fn: Optional[Callable] = None,
 ):
     """Build the jittable episode function: key -> (total_reward, records).
 
     total_reward is the raw episode return (sum of per-step diff rewards,
     reference mppi_with_model.py:272,288); callers rescale by 200/n_steps.
+
+    ``command_fn`` swaps the planner implementation — e.g. the K-sharded
+    planner from parallel.sharding.make_k_sharded_mppi_command. It must have
+    signature ``(U, obs, action_buffer, key, time_buffer=None,
+    cost_args=()) -> (action, U_new, aux)`` with the running cost (and its
+    extra ``cost_args``, used by change_goal) baked in at build time.
     """
     spec = env.spec
     running_cost = build_running_cost(env, state_constraint=settings.state_constraint)
@@ -173,6 +180,12 @@ def make_episode_fn(
             if settings.random_policy:
                 action = jax.random.uniform(
                     k_rand, (nu,), minval=-spec.action_high, maxval=spec.action_high
+                )
+            elif command_fn is not None:
+                action, U, _ = command_fn(
+                    U, obs, buffer, k_noise,
+                    time_buffer=ages if settings.encode_obs_time else None,
+                    cost_args=(goal_x,) if goal_cost is not None else (),
                 )
             else:
                 action, U, _ = mppi_command(
@@ -227,9 +240,10 @@ def make_episode_fn(
 
 
 def make_batched_episode_fn(env, dynamics_fn, mppi_cfg, mppi_params, settings,
-                            dynamics_carry_init=None):
+                            dynamics_carry_init=None, command_fn=None):
     """vmap the episode over a batch of PRNG keys — replaces the process
     pools at run_exp_multi.py:145 / mppi_dataset_collector.py:411."""
     episode = make_episode_fn(env, dynamics_fn, mppi_cfg, mppi_params, settings,
-                              dynamics_carry_init=dynamics_carry_init)
+                              dynamics_carry_init=dynamics_carry_init,
+                              command_fn=command_fn)
     return jax.jit(jax.vmap(episode))

@@ -163,7 +163,7 @@ def test_k_sharded_mppi_matches_single_chip():
     obs = env.observe(jnp.asarray([0.1, -0.2, 3.0, 0.5], jnp.float64))
     buf = jnp.asarray([[0.3], [0.6], [-0.9], [1.2]], jnp.float64)
 
-    a_sh, U_sh = jax.jit(command)(U, obs, buf, key)
+    a_sh, U_sh, _ = jax.jit(command)(U, obs, buf, key)
 
     # single-chip with the identical noise draw
     z = jax.random.normal(key, (K, T, 1), dtype=jnp.float64)
@@ -174,6 +174,122 @@ def test_k_sharded_mppi_matches_single_chip():
     np.testing.assert_allclose(np.asarray(a_sh), np.asarray(a_ref), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(U_sh), np.asarray(U_ref), rtol=1e-8)
     del noise
+
+
+@pytest.mark.parametrize(
+    "flags",
+    [
+        dict(sample_null_action=True),
+        dict(noise_abs_cost=True),
+        dict(encode_obs_time=True),
+        dict(rollout_samples=3, rollout_var_cost=0.5),
+        dict(step_dependent_dynamics=True),
+        dict(u_per_command=3),
+    ],
+    ids=lambda f: next(iter(f)),
+)
+def test_k_sharded_mppi_extended_flags_match_single_chip(flags):
+    """Every planner feature flag must behave identically K-sharded and
+    single-chip (same code via mppi_command_core; same noise draw)."""
+    from neurallaplacecontrol_tpu.planners import mppi_command
+
+    env = make_env("oderl-cartpole")
+    K, T = 64, 6
+    cfg = MPPIConfig(
+        num_samples=K, horizon=T, nu=1, u_scale=3.0, u_min=-3.0, u_max=3.0,
+        dt=0.05, **flags,
+    )
+    params = make_mppi_params(default_noise_sigma(1, 1.0, dtype=jnp.float64))
+    base_dyn = build_oracle_dynamics(env, K, 0.05, 1)
+    if cfg.encode_obs_time:
+        # strip the age channel the planner appends (the oracle closure is
+        # not time-aware; what matters here is window plumbing parity)
+        def dyn(state, window):
+            return base_dyn(state, window[..., :1])
+    elif cfg.step_dependent_dynamics:
+        def dyn(state, window, t):
+            return base_dyn(state, window) + 1e-4 * t
+    else:
+        dyn = base_dyn
+    cost = build_running_cost(env)
+    mesh = make_mesh(8, tp=2)
+    command = make_k_sharded_mppi_command(cfg, params, dyn, cost, mesh)
+
+    key = jax.random.PRNGKey(7)
+    U = jnp.zeros((T, 1), jnp.float64)
+    obs = env.observe(jnp.asarray([0.1, -0.2, 3.0, 0.5], jnp.float64))
+    buf = jnp.asarray([[0.3], [0.6], [-0.9], [1.2]], jnp.float64)
+
+    a_sh, U_sh, aux_sh = jax.jit(command)(U, obs, buf, key)
+    a_ref, U_ref, aux_ref = mppi_command(cfg, params, dyn, cost, U, obs, buf, key)
+    np.testing.assert_allclose(np.asarray(a_sh), np.asarray(a_ref), rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(U_sh), np.asarray(U_ref), rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(aux_sh["cost_total"]), np.asarray(aux_ref["cost_total"]), rtol=1e-8
+    )
+
+
+def test_k_sharded_mppi_terminal_and_carried_dynamics():
+    """Terminal state cost and carried (stateful) dynamics through the
+    sharded path match the single-chip planner."""
+    from neurallaplacecontrol_tpu.planners import mppi_command
+
+    env = make_env("oderl-cartpole")
+    K, T = 32, 5
+    cfg = MPPIConfig(num_samples=K, horizon=T, nu=1, u_scale=3.0, u_min=-3.0, u_max=3.0)
+    params = make_mppi_params(default_noise_sigma(1, 1.0, dtype=jnp.float64))
+    base_dyn = build_oracle_dynamics(env, K, 0.05, 1)
+    cost = build_running_cost(env)
+
+    def terminal(states, actions):  # [K, T, nx], [K, T, nu]
+        return jnp.sum(states[:, -1, :] ** 2, axis=-1)
+
+    def carry_init(state0):
+        return jnp.zeros((state0.shape[0],), state0.dtype)
+
+    def carried_dyn(carry, state, window):
+        carry = carry + jnp.sum(window[:, -1, :], axis=-1)
+        return carry, base_dyn(state, window) + 1e-5 * carry[:, None]
+
+    mesh = make_mesh(8, tp=2)
+    key = jax.random.PRNGKey(11)
+    U = jnp.zeros((T, 1), jnp.float64)
+    obs = env.observe(jnp.asarray([0.1, -0.2, 3.0, 0.5], jnp.float64))
+    buf = jnp.asarray([[0.3], [0.6], [-0.9], [1.2]], jnp.float64)
+
+    cmd = make_k_sharded_mppi_command(
+        cfg, params, base_dyn, cost, mesh, terminal_state_cost=terminal
+    )
+    a_sh, U_sh, _ = jax.jit(cmd)(U, obs, buf, key)
+    a_ref, U_ref, _ = mppi_command(
+        cfg, params, base_dyn, cost, U, obs, buf, key, terminal_state_cost=terminal
+    )
+    np.testing.assert_allclose(np.asarray(a_sh), np.asarray(a_ref), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(U_sh), np.asarray(U_ref), rtol=1e-8)
+
+    cmd = make_k_sharded_mppi_command(
+        cfg, params, carried_dyn, cost, mesh, dynamics_carry_init=carry_init
+    )
+    a_sh, U_sh, _ = jax.jit(cmd)(U, obs, buf, key)
+    a_ref, U_ref, _ = mppi_command(
+        cfg, params, carried_dyn, cost, U, obs, buf, key, dynamics_carry_init=carry_init
+    )
+    np.testing.assert_allclose(np.asarray(a_sh), np.asarray(a_ref), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(U_sh), np.asarray(U_ref), rtol=1e-8)
+
+
+def test_rollout_sharded_eval_matches_unsharded():
+    """evaluate_policy(shard_rollouts=True) — the K-sharded planner inside
+    the episode scan — must reproduce the single-chip episode returns
+    exactly (same keys, same noise tensors)."""
+    from neurallaplacecontrol_tpu.config import Config
+    from neurallaplacecontrol_tpu.training import evaluate_policy
+
+    cfg = Config(dt=0.5)  # 20-step episodes for CPU speed
+    kw = dict(seeds=range(2), config=cfg, roll_outs=16, time_steps=4)
+    a = evaluate_policy("oracle", "oderl-pendulum", 1, **kw)
+    b = evaluate_policy("oracle", "oderl-pendulum", 1, shard_rollouts=True, **kw)
+    np.testing.assert_allclose(a["total_rewards"], b["total_rewards"], rtol=1e-10)
 
 
 def test_seed_sharded_eval_matches_unsharded():
