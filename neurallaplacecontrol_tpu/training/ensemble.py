@@ -16,6 +16,19 @@ permutations (shared across delays — each delay has its own dataset, the
 index stream is common), same per-segment best-loss checkpointing to the
 same per-delay checkpoint names. A 1-delay ensemble reproduces
 train_model's parameter trajectory exactly (tested).
+
+CAVEAT (measured, round 2): semantic equivalence is not numerical
+equivalence. The vmapped update's batched GEMMs accumulate in a different
+order, so after ~10^6 f32 updates the ensemble walks a different SGD
+trajectory than individual training — equivalent to a different random
+draw. For loss-plateaued baseline families this is immaterial, but for
+the NL flagship one such draw (pendulum, delay 3) reached the same train
+MSE (8e-4) while losing action sensitivity from the hanging state, and
+MPPI through it never swung up (-799 vs -140 episode reward). Individual
+training on the same data/seed reproduced the good model
+(artifacts/run_nl_d3_diag.log). Use the ensemble for cheap baselines;
+train the control-critical flagship per delay, or gate ensemble output
+with a post-training control eval.
 """
 
 from __future__ import annotations
