@@ -53,6 +53,15 @@ def main(argv=None):
         help="train all requested delays of each (env, model) as one vmapped "
         "parameter ensemble (training.ensemble) instead of sequentially",
     )
+    parser.add_argument(
+        "--ensemble_gate", type=str, default="nl",
+        help="comma-separated model families to sanity-check after ensemble "
+        "training with a 2-seed control eval against the random policy; a "
+        "gated model that plans WORSE than random (the NL-d3 failure mode of "
+        "the vmapped-trajectory draw, see training/ensemble.py CAVEAT) is "
+        "retrained individually. Default gates only the flagship — weak "
+        "baselines legitimately score near/below random. 'none' disables.",
+    )
     ns, rest = parser.parse_known_args(argv)
     config = parse_args(rest)
 
@@ -87,6 +96,38 @@ def main(argv=None):
                             env_name, model_name, delay,
                             res["best_val_loss"], time.time() - t0,
                         )
+                    gated = ns.ensemble_gate.lower().split(",")
+                    if model_name in gated:
+                        for delay in list(out):
+                            model, params = trained[(env_name, delay, model_name)]
+                            apply = model if model_name == "latent_ode" else model.apply
+                            r_m = evaluate_policy(
+                                model_name, env_name, delay, seeds=[0, 1],
+                                config=config, model_apply=apply, params=params,
+                            )
+                            r_r = evaluate_policy(
+                                "random", env_name, delay, seeds=[0, 1], config=config
+                            )
+                            if r_m["total_reward"] >= r_r["total_reward"]:
+                                continue
+                            logger.warning(
+                                "[ensemble gate %s %s d=%d] model plans worse "
+                                "than random (%.1f < %.1f) — retraining "
+                                "individually", env_name, model_name, delay,
+                                r_m["total_reward"], r_r["total_reward"],
+                            )
+                            model, params, res = train_model(
+                                model_name, env_name, config, delay=delay,
+                                retrain=True, force_retrain=True,
+                                model_seed=config.model_seed,
+                                start_from_checkpoint=False,
+                                end_training_after_seconds=ns.train_seconds,
+                            )
+                            trained[(env_name, delay, model_name)] = (model, params)
+                            logger.info(
+                                "[trained %s %s d=%d] loss=%g (gate retrain)",
+                                env_name, model_name, delay, res["best_val_loss"],
+                            )
                 except Exception:  # noqa: BLE001 — quarantine (:46-56)
                     logger.error(
                         "[train FAILED %s %s ensemble]\n%s",

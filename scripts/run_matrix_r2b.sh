@@ -14,11 +14,16 @@ RESULTS=artifacts/results_full_r2.jsonl
 ENS="--delays 0,1,2,3 --ensemble_delays true --retrain true --seed_runs 20 --results $RESULTS"
 IND="--delays 0,1,2,3 --retrain true --seed_runs 20 --results $RESULTS"
 
-# pendulum: families done in the r2 run; re-eval nl d3 with the good
-# individually-trained model (checkpoint copied into saved_models/ by the
-# caller) and re-record the cell
+# pendulum: nl/delta_t_rnn/node were finished by the r2 run; re-eval nl d3
+# with the good individually-trained model (checkpoint copied into
+# saved_models/ by the caller), then the remaining pendulum families
 echo "=== oderl-pendulum nl d3 re-eval ==="
 python run_exp_multi.py --envs oderl-pendulum --models nl --delays 3 \
+  --seed_runs 20 --results $RESULTS
+echo "=== oderl-pendulum latent_ode ==="
+python run_exp_multi.py --envs oderl-pendulum --models latent_ode $ENS --train_seconds 900
+echo "=== oderl-pendulum oracle+random ==="
+python run_exp_multi.py --envs oderl-pendulum --models oracle,random --delays 0,1,2,3 \
   --seed_runs 20 --results $RESULTS
 
 for ENV in oderl-cartpole oderl-acrobot; do
