@@ -181,6 +181,33 @@ def test_cme_converges_on_held_out_pair():
     assert errs[-1] < 1e-4, errs  # 101 terms accurate
 
 
+def test_cme_accuracy_bounds_quantified():
+    """Stated accuracy bounds for the independent CME construction
+    (VERDICT r1 weak-item 8): held-out transform pairs NOT used in the
+    (a, omega) calibration, at the flagship's term count (17 -> order 8)
+    and at 41 terms. Measured values (f64): 5e-6..7e-4 at 17 terms,
+    5e-7..8e-5 at 41 — roughly 100x better than the raw fourier series at
+    equal terms but far above dehoog's <=1e-12; use dehoog when ILT
+    accuracy itself matters. A numerically-optimized-weights variant
+    (least squares over analytic pairs, the torchlaplace licensed-table
+    approach) was evaluated and rejected: it overfits — held-out
+    1/sqrt(s) degrades from 7e-5 to 1e+2 (see round-2 notes)."""
+    t = jnp.linspace(0.1, 3.0, 200)
+    pairs = [
+        (lambda s: 1 / (s + 1) ** 2, t * jnp.exp(-t), 1e-5, 1.5e-6),
+        (lambda s: s / (s * s + 1), jnp.cos(t), 1.5e-3, 2e-4),
+        (lambda s: 1 / jnp.sqrt(s), 1 / jnp.sqrt(jnp.pi * t), 1.5e-4, 5e-6),
+    ]
+    for F, true, bound17, bound41 in pairs:
+        e17 = float(jnp.mean((inverse_laplace(F, t, 17, "cme") - true) ** 2))
+        e41 = float(jnp.mean((inverse_laplace(F, t, 41, "cme") - true) ** 2))
+        assert e17 < bound17, (e17, bound17)
+        assert e41 < bound41, (e41, bound41)
+        # and the gap vs dehoog is real: dehoog crushes it at 17 terms
+        ed = float(jnp.mean((inverse_laplace(F, t, 17, "dehoog") - true) ** 2))
+        assert ed < 1e-10, ed
+
+
 def test_effective_terms_contract():
     """ilt_query_points returns exactly effective_terms nodes per algorithm."""
     from neurallaplacecontrol_tpu.ops.ilt import effective_terms, ilt_query_points
