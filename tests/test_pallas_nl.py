@@ -52,6 +52,30 @@ def test_fused_forward_encode_obs_time():
     _check("oderl-cartpole", 5, 1, 3.0, Config(encode_obs_time=True))
 
 
+def test_fused_planner_eval_path(tmp_path):
+    """Config.fused_nl_planner routes evaluate_policy's NL dynamics through
+    the fused kernel; a miniature episode must stay finite and track the
+    XLA-path returns (interpret mode on CPU)."""
+    import numpy as np
+
+    from neurallaplacecontrol_tpu.training import evaluate_policy
+
+    cfg = Config(dt=0.5)
+    model = make_model("nl", "oderl-pendulum", 3, 1, 2.0, cfg, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    kw = dict(seeds=[0], config=cfg.replace(fused_nl_planner=False),
+              model_apply=model.apply, params=params, roll_outs=8, time_steps=3)
+    ref = evaluate_policy("nl", "oderl-pendulum", 1, **kw)
+    kw["config"] = cfg.replace(fused_nl_planner=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = evaluate_policy("nl", "oderl-pendulum", 1, **kw)
+    assert np.isfinite(got["total_reward"])
+    # untrained model + chaotic env: same-sign, same-magnitude agreement
+    assert abs(got["total_reward"] - ref["total_reward"]) < 0.35 * abs(ref["total_reward"]), (
+        got["total_reward"], ref["total_reward"],
+    )
+
+
 def test_fused_forward_rejects_non_fourier():
     model = make_model(
         "nl", "oderl-cartpole", 5, 1, 3.0, Config(nl_ilt_algorithm="dehoog")
