@@ -62,9 +62,13 @@ def pack_nl_forward(
 ):
     """Fold normalizations + the fixed contour into a flat tuple of kernel
     operands. ``t_model`` is the (already normalized + floored) query time.
+
+    Everything here is host-side numpy: the experimental TPU backend does
+    not implement eager complex ops, and pack time is setup, not compute.
     """
-    from .ilt import ilt_query_points
-    from .sphere import complex_to_spherical
+    import math
+
+    from .ilt import _FOURIER_ALPHA, _FOURIER_EPS, _FOURIER_SCALE
 
     gru = params["encoder"]["gru"]
     assert len(gru) == 2, "NL encoder is a 2-layer GRU (w_nl.py:21)"
@@ -92,10 +96,14 @@ def pack_nl_forward(
     L = state_dim + 2  # laplace latent dim (w_nl.py:90)
     assert w1.shape[0] == 2 * terms + L
 
-    s = ilt_query_points(jnp.asarray([t_model], jnp.float32), terms)
-    theta_s, phi_s = complex_to_spherical(s)
-    theta_s = np.asarray(theta_s[0], np.float32)
-    phi_s = np.asarray(phi_s[0], np.float32)
+    # fourier contour s_k = sigma + i k pi / T at the shared query time
+    # (numpy mirror of ops.ilt._fourier_nodes + ops.sphere.complex_to_spherical)
+    T_c = _FOURIER_SCALE * float(t_model)
+    sigma = _FOURIER_ALPHA - math.log(_FOURIER_EPS) / T_c
+    omega = np.pi * np.arange(terms) / T_c
+    theta_s = np.arctan2(omega, sigma).astype(np.float32)
+    mag2 = sigma * sigma + omega * omega
+    phi_s = np.arcsin(np.clip((mag2 - 1.0) / (mag2 + 1.0), -1.0, 1.0)).astype(np.float32)
     b1 = b1 + theta_s @ w1[:terms] + phi_s @ w1[terms : 2 * terms]
 
     w1_obs = w1[2 * terms : 2 * terms + state_dim].copy()
