@@ -44,7 +44,6 @@ def _generate(env: Env, key: jax.Array, samples_per_dim: int, rounds: int,
     n_state, m = spec.n_state, spec.m
     state_max = jnp.asarray(env.state_max)
     S = samples_per_dim**n_state
-    n_act = samples_per_dim ** (1 if m == 1 else m) if not rand else samples_per_dim
     a_high = spec.action_high
 
     def sample_round(k):

@@ -188,7 +188,6 @@ def make_latent_ode_model(
         outs, (z_mean, z_std) = predict_diff(
             params, key, hist_obs, hist_act, ts, n_samples=_IWAE_SAMPLES
         )
-        pred = outs[..., :state_dim]  # [S, B, n]
         target = jnp.concatenate(
             [target_diff, jnp.zeros(target_diff.shape[:-1] + (action_dim,), target_diff.dtype)],
             axis=-1,

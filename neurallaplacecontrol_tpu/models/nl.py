@@ -111,7 +111,11 @@ def make_nl_model(
         # Floor the (normalized) query time; affected samples (~2% of an
         # exp(dt) grid) have near-zero targets anyway. The reference relies
         # on float64 here instead.
-        ts = jnp.maximum(ts, 2.5e-3 if normalize_time else 2.5e-3 * dt * 8.0)
+        # floor in the units ts has HERE: it was divided by dt*8 only when
+        # (normalize and normalize_time) — same condition as the fused path
+        ts = jnp.maximum(
+            ts, 2.5e-3 if (normalize and normalize_time) else 2.5e-3 * dt * 8.0
+        )
         if act_n.ndim == 2:
             act_n = act_n[:, None, :]
         # reverse GRU encoder (w_nl.py:25-29): flip time, 2-layer GRU, linear
@@ -145,7 +149,11 @@ def make_nl_model(
 
         assert ilt_algorithm == "fourier", "fused planner path is fourier-only"
         t_model = t / (dt * 8.0) if (normalize and normalize_time) else t
-        t_model = max(t_model, 2.5e-3)
+        # mirror apply's floor exactly (line 114): normalized time floors at
+        # 2.5e-3, un-normalized time at 2.5e-3*dt*8 — keeps the fused and
+        # XLA paths identical for normalize_time=False configs too
+        t_floor = 2.5e-3 if (normalize and normalize_time) else 2.5e-3 * dt * 8.0
+        t_model = max(t_model, t_floor)
         in_dim = gru_in
         packed = pack_nl_forward(
             params, t_model, state_dim, action_dim, s_recon_terms,

@@ -14,7 +14,6 @@ grid-plus-partial-final-step semantics exactly for any t < max_substeps*h.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .base import DynamicsModel, NormStats

@@ -10,7 +10,7 @@ CTRL.make_dynamics_model (ctrl.py:84-106).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

@@ -38,7 +38,6 @@ from __future__ import annotations
 
 import functools
 import math
-from functools import partial
 from typing import Callable, Tuple
 
 import jax.numpy as jnp

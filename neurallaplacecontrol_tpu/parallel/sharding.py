@@ -171,7 +171,7 @@ def make_k_sharded_mppi_command(
     -> (action, U_new, aux)`` with aux's per-rollout fields K-sharded.
     """
     n_dev = mesh.devices.size
-    assert cfg.num_samples % n_dev == 0, "K must divide the device count"
+    assert cfg.num_samples % n_dev == 0, "device count must divide K (num_samples)"
     axis = tuple(mesh.axis_names)
 
     def local_command(U, obs, action_buffer, time_buffer, noise_local, cost_args):
@@ -197,10 +197,11 @@ def make_k_sharded_mppi_command(
     )
 
     def command(U, obs, action_buffer, key, time_buffer=None, cost_args=()):
-        z = jax.random.normal(
-            key, (cfg.num_samples, cfg.horizon, cfg.nu), dtype=params.noise_chol.dtype
-        )
-        noise = z @ params.noise_chol.T
+        # draw through the planner's own sampler so a future change to the
+        # noise distribution can't silently break sharded==single parity
+        from ..planners.mppi_delay import _sample_noise
+
+        noise = _sample_noise(key, cfg, params)
         U = jnp.roll(U, -1, axis=0).at[-1].set(params.u_init)
         return sharded(U, obs, action_buffer, time_buffer, noise, cost_args)
 

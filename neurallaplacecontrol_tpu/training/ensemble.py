@@ -35,8 +35,6 @@ from __future__ import annotations
 
 import logging
 import os
-import time
-from functools import partial
 from typing import Optional, Sequence
 
 import jax

@@ -16,7 +16,6 @@ always emitted (cheap relative to the planning compute).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -194,13 +193,15 @@ def make_episode_fn(
                     dynamics_carry_init=dynamics_carry_init,
                     time_buffer=ages if settings.encode_obs_time else None,
                 )
-                if settings.explore_noise is not None:
-                    # expert-collection exploration (collector :250-254)
-                    action = action + (
-                        (jax.random.uniform(k_explore, (nu,)) - 0.5)
-                        * 2.0 * spec.action_high * settings.explore_noise
-                    )
-                    action = jnp.clip(action, -spec.action_high, spec.action_high)
+            if settings.explore_noise is not None and not settings.random_policy:
+                # expert-collection exploration on top of the planner action
+                # (collector :250-254); applies to the sharded command_fn
+                # path too, should a sharded planner ever collect data
+                action = action + (
+                    (jax.random.uniform(k_explore, (nu,)) - 0.5)
+                    * 2.0 * spec.action_high * settings.explore_noise
+                )
+                action = jnp.clip(action, -spec.action_high, spec.action_high)
 
             # delay buffer roll; delayed action executes (get_action :25-28)
             buffer = jnp.roll(buffer, -1, axis=0).at[-1].set(action)

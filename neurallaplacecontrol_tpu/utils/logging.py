@@ -13,7 +13,7 @@ import logging
 import os
 import time
 from pathlib import Path
-from typing import Iterable, Optional
+from typing import Iterable
 
 
 def setup_logger(name: str, log_folder: str = "logs") -> logging.Logger:

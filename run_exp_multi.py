@@ -25,7 +25,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
 
-from neurallaplacecontrol_tpu.config import Config, parse_args  # noqa: E402
+from neurallaplacecontrol_tpu.config import parse_args  # noqa: E402
 from neurallaplacecontrol_tpu.training import (  # noqa: E402
     evaluate_policy,
     train_model,
@@ -37,6 +37,31 @@ ENVIRONMENTS = ["oderl-pendulum", "oderl-cartpole", "oderl-acrobot"]
 DELAYS = [0, 1, 2, 3]
 MODELS = ["nl", "oracle", "random", "delta_t_rnn", "node", "latent_ode"]
 TRAIN_SECONDS_PER_MODEL = 1350 * 6  # reference run_exp_multi.py:214
+
+
+def ensemble_gate_check(
+    model_name, env_name, delay, model_apply, params, config,
+    *, seeds=5, margin_stds=1.0, evaluate=None,
+):
+    """Control-eval a freshly ensemble-trained cell against the random policy.
+
+    Returns ``(ok, r_model, r_random)`` where ``ok`` means the model's mean
+    return over ``seeds`` episodes clears ``random_mean + margin_stds *
+    random_std``. This is the driver-level guard for the delay-ensemble
+    trainer's documented failure mode: a draw that matches train MSE yet
+    plans worse than random (training/ensemble.py CAVEAT,
+    artifacts/run_nl_d3_diag.log). Kept as a free function so tests can
+    plant a bad draw through ``evaluate`` and assert the retrain fires.
+    """
+    evaluate = evaluate or evaluate_policy
+    eval_seeds = list(range(seeds))
+    r_m = evaluate(
+        model_name, env_name, delay, seeds=eval_seeds, config=config,
+        model_apply=model_apply, params=params,
+    )
+    r_r = evaluate("random", env_name, delay, seeds=eval_seeds, config=config)
+    threshold = r_r["total_reward"] + margin_stds * r_r.get("total_reward_std", 0.0)
+    return r_m["total_reward"] >= threshold, r_m, r_r
 
 
 def main(argv=None):
@@ -56,11 +81,32 @@ def main(argv=None):
     parser.add_argument(
         "--ensemble_gate", type=str, default="nl",
         help="comma-separated model families to sanity-check after ensemble "
-        "training with a 2-seed control eval against the random policy; a "
-        "gated model that plans WORSE than random (the NL-d3 failure mode of "
-        "the vmapped-trajectory draw, see training/ensemble.py CAVEAT) is "
-        "retrained individually. Default gates only the flagship — weak "
-        "baselines legitimately score near/below random. 'none' disables.",
+        "training with a multi-seed control eval against the random policy; a "
+        "gated model that fails to beat random by the margin (the NL-d3 "
+        "failure mode of the vmapped-trajectory draw, see training/ensemble.py "
+        "CAVEAT) is retrained individually. Default gates only the flagship — "
+        "weak baselines legitimately score near/below random. 'none' disables.",
+    )
+    parser.add_argument(
+        "--ensemble_gate_seeds", type=int, default=5,
+        help="control-eval seeds for the gate; 2 was statistically thin vs "
+        "random's per-seed spread (cartpole random std ~±35 normalized)",
+    )
+    parser.add_argument(
+        "--ensemble_gate_margin", type=float, default=1.0,
+        help="gate threshold in units of the random policy's per-seed return "
+        "std: model must score >= random_mean + margin*random_std. The "
+        "documented failure this catches (NL pendulum d3, same train MSE, "
+        "-799 vs random's -140, artifacts/run_nl_d3_diag.log) fails ANY "
+        "margin >= 0; the +1-std default also rejects bad-but-lucky draws.",
+    )
+    parser.add_argument(
+        "--ensemble_exclude", type=str, default="nl",
+        help="model families trained per-delay individually even when "
+        "--ensemble_delays is true. Defaults to the flagship: the delay "
+        "ensemble is semantically but not numerically equivalent to "
+        "train_model (training/ensemble.py CAVEAT), and per-delay training "
+        "is the known-good path for NL (scripts/run_matrix_r2b.sh).",
     )
     ns, rest = parser.parse_known_args(argv)
     config = parse_args(rest)
@@ -75,9 +121,12 @@ def main(argv=None):
 
     trained = {}
     use_ensemble = ns.ensemble_delays.lower() == "true" and len(delays) > 1
+    excluded = set(ns.ensemble_exclude.lower().split(",")) if use_ensemble else set()
+    ens_models = [m for m in models if m not in excluded] if use_ensemble else []
+    seq_models = [m for m in models if m not in ens_models]
     if (config.retrain or config.force_retrain) and use_ensemble:
         for env_name in envs:
-            for model_name in models:
+            for model_name in ens_models:
                 if model_name in ("oracle", "random"):
                     continue
                 try:
@@ -101,20 +150,21 @@ def main(argv=None):
                         for delay in list(out):
                             model, params = trained[(env_name, delay, model_name)]
                             apply = model if model_name == "latent_ode" else model.apply
-                            r_m = evaluate_policy(
-                                model_name, env_name, delay, seeds=[0, 1],
-                                config=config, model_apply=apply, params=params,
+                            ok, r_m, r_r = ensemble_gate_check(
+                                model_name, env_name, delay, apply, params,
+                                config, seeds=ns.ensemble_gate_seeds,
+                                margin_stds=ns.ensemble_gate_margin,
                             )
-                            r_r = evaluate_policy(
-                                "random", env_name, delay, seeds=[0, 1], config=config
-                            )
-                            if r_m["total_reward"] >= r_r["total_reward"]:
+                            if ok:
                                 continue
                             logger.warning(
-                                "[ensemble gate %s %s d=%d] model plans worse "
-                                "than random (%.1f < %.1f) — retraining "
-                                "individually", env_name, model_name, delay,
+                                "[ensemble gate %s %s d=%d] model fails the "
+                                "random-control margin (%.1f < %.1f + %g*%.1f)"
+                                " — retraining individually",
+                                env_name, model_name, delay,
                                 r_m["total_reward"], r_r["total_reward"],
+                                ns.ensemble_gate_margin,
+                                r_r.get("total_reward_std", 0.0),
                             )
                             model, params, res = train_model(
                                 model_name, env_name, config, delay=delay,
@@ -133,10 +183,12 @@ def main(argv=None):
                         "[train FAILED %s %s ensemble]\n%s",
                         env_name, model_name, traceback.format_exc(),
                     )
-    elif config.retrain or config.force_retrain:
+    if config.retrain or config.force_retrain:
+        # per-delay individual training: all models when not ensembling,
+        # plus the --ensemble_exclude families (default: the NL flagship)
         for env_name in envs:
             for delay in delays:
-                for model_name in models:
+                for model_name in seq_models:
                     if model_name in ("oracle", "random"):
                         continue
                     try:

@@ -1,6 +1,6 @@
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # E2E flagship validation on TPU: expert data -> NL training -> MPPI eval
-import jax, time, logging, json
+import time, logging, json
 logging.basicConfig(level=logging.INFO)
 from neurallaplacecontrol_tpu.config import Config
 from neurallaplacecontrol_tpu.data import collect_expert_data

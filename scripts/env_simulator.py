@@ -11,7 +11,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
+import jax.numpy as jnp  # noqa: E402, F401 — handy in --interact sessions
 
 from neurallaplacecontrol_tpu.config import Config  # noqa: E402
 from neurallaplacecontrol_tpu.envs import make_env  # noqa: E402

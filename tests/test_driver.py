@@ -59,6 +59,8 @@ def test_driver_ensemble_with_gate(tmp_path):
         "--force_retrain", "true",
         "--ensemble_delays", "true",
         "--ensemble_gate", "rnn",
+        "--ensemble_gate_seeds", "2",
+        "--ensemble_gate_margin", "0",  # 10s-budget rnn needn't clear +1 std
         "--seed_runs", "2",
         "--dt", "0.5",
         "--mppi_roll_outs", "8",
@@ -74,3 +76,102 @@ def test_driver_ensemble_with_gate(tmp_path):
         recs = [json.loads(line) for line in f if line.strip()]
     cells = {(r["model_name"], r["delay"]) for r in recs if not r.get("errored")}
     assert cells == {("rnn", 0), ("rnn", 1), ("random", 0), ("random", 1)}
+
+
+def test_driver_gate_catches_planted_bad_ensemble_draw(tmp_path, monkeypatch):
+    """VERDICT r2 item 5: a planted bad ensemble draw (model eval sabotaged
+    to -1e9 until the first individual retrain) must trip the gate, trigger a
+    per-delay retrain, and leave honestly-evaluated results behind."""
+    retrains = []
+    real_train = run_exp_multi.train_model
+
+    def counting_train(model_name, env_name, config, **kw):
+        # the gate's retrain path uses force_retrain + no checkpoint resume
+        if kw.get("force_retrain") and not kw.get("start_from_checkpoint", True):
+            retrains.append((model_name, env_name, kw.get("delay")))
+        return real_train(model_name, env_name, config, **kw)
+
+    real_eval = run_exp_multi.evaluate_policy
+
+    def sabotaged_eval(model_name, env_name, delay, **kw):
+        r = real_eval(model_name, env_name, delay, **kw)
+        if model_name == "rnn" and "params" in kw and not retrains:
+            r = dict(r, total_reward=-1e9)  # planted bad ensemble draw
+        return r
+
+    monkeypatch.setattr(run_exp_multi, "train_model", counting_train)
+    monkeypatch.setattr(run_exp_multi, "evaluate_policy", sabotaged_eval)
+
+    results = str(tmp_path / "results.jsonl")
+    argv = [
+        "--envs", "oderl-pendulum",
+        "--delays", "0,1",
+        "--models", "rnn",
+        "--results", results,
+        "--train_seconds", "8",
+        "--retrain", "true",
+        "--force_retrain", "true",
+        "--ensemble_delays", "true",
+        "--ensemble_gate", "rnn",
+        "--ensemble_gate_seeds", "2",
+        "--ensemble_gate_margin", "0",
+        "--seed_runs", "2",
+        "--dt", "0.5",
+        "--mppi_roll_outs", "8",
+        "--mppi_time_steps", "3",
+        "--train_with_expert_trajectories", "false",
+        "--train_samples_per_dim", "3",
+        "--iters_per_log", "50",
+        "--saved_models_path", str(tmp_path) + "/",
+        "--log_folder", str(tmp_path),
+    ]
+    run_exp_multi.main(argv)
+    assert retrains and retrains[0][:2] == ("rnn", "oderl-pendulum")
+    with open(results) as f:
+        recs = [json.loads(line) for line in f if line.strip()]
+    assert {(r["model_name"], r["delay"]) for r in recs if not r.get("errored")} == {
+        ("rnn", 0), ("rnn", 1),
+    }
+
+
+def test_driver_ensemble_excludes_flagship_by_default(tmp_path, monkeypatch):
+    """--ensemble_exclude defaults to 'nl': under --ensemble_delays the
+    flagship must go through per-delay train_model, never the ensemble
+    trainer (the r2 lesson of artifacts/run_nl_d3_diag.log)."""
+    individual, ensembled = [], []
+    real_train = run_exp_multi.train_model
+
+    def spy_train(model_name, env_name, config, **kw):
+        individual.append((model_name, kw.get("delay")))
+        return real_train(model_name, env_name, config, **kw)
+
+    def spy_ensemble(model_name, *a, **kw):
+        ensembled.append(model_name)
+        raise AssertionError("flagship must not reach the ensemble trainer")
+
+    monkeypatch.setattr(run_exp_multi, "train_model", spy_train)
+    monkeypatch.setattr(run_exp_multi, "train_model_ensemble", spy_ensemble)
+
+    results = str(tmp_path / "results.jsonl")
+    argv = [
+        "--envs", "oderl-pendulum",
+        "--delays", "0,1",
+        "--models", "nl",
+        "--results", results,
+        "--train_seconds", "8",
+        "--retrain", "true",
+        "--force_retrain", "true",
+        "--ensemble_delays", "true",
+        "--seed_runs", "2",
+        "--dt", "0.5",
+        "--mppi_roll_outs", "8",
+        "--mppi_time_steps", "3",
+        "--train_with_expert_trajectories", "false",
+        "--train_samples_per_dim", "3",
+        "--iters_per_log", "50",
+        "--saved_models_path", str(tmp_path) + "/",
+        "--log_folder", str(tmp_path),
+    ]
+    run_exp_multi.main(argv)
+    assert not ensembled
+    assert {(m, d) for m, d in individual if m == "nl"} >= {("nl", 0), ("nl", 1)}

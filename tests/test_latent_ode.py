@@ -5,7 +5,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-import pytest
 
 from neurallaplacecontrol_tpu.config import Config
 from neurallaplacecontrol_tpu.envs import make_env

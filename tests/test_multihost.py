@@ -1,0 +1,60 @@
+"""Multi-host DCN fan-out: single-process helper tests live in
+tests/test_sharding.py; here the REAL 2-process jax.distributed path runs
+(VERDICT r2 item 6) — coordinator + worker subprocesses split a 4-seed grid
+through parallel.multihost and must both complete and merge."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+SCRIPT = REPO / "scripts" / "multihost_dryrun.py"
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_grid_split(tmp_path):
+    # no pytest-timeout in this env — the communicate(timeout=) below bounds it
+    port = _free_port()
+    env = dict(os.environ)
+    # each subprocess is its own single-device CPU "host"; the dryrun script
+    # forces the cpu platform itself before backend init
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(SCRIPT), "--pid", str(pid), "--nprocs", "2",
+             "--port", str(port), "--out", str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"process failed:\n{out}"
+
+    recs = [json.loads((tmp_path / f"proc{i}.json").read_text()) for i in range(2)]
+    # the two shares partition the full grid (round-robin, multihost.py:50-57)
+    assert sorted(recs[0]["share"] + recs[1]["share"]) == [0, 1, 2, 3]
+    assert not set(recs[0]["share"]) & set(recs[1]["share"])
+    # the allgather collective gave BOTH processes the same global total,
+    # equal to the sum of the two local partials
+    expect = recs[0]["local_total"] + recs[1]["local_total"]
+    for r in recs:
+        assert np.isclose(r["global_total"], expect, rtol=1e-6), (r, expect)

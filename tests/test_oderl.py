@@ -24,12 +24,12 @@ from neurallaplacecontrol_tpu.oderl import (
     make_enn,
     make_epnn,
     make_ibnn,
-    make_kernel_interpolate_policy,
+    make_kernel_interpolate_policy,  # noqa: F401 — public-API surface check
     make_mlp,
     simulate_deep_pilco,
     simulate_enode,
     simulate_pets,
-    train_deep_pilco,
+    train_deep_pilco,  # noqa: F401 — public-API surface check
     train_dynamics,
     train_pets,
     train_policy,

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from neurallaplacecontrol_tpu.ops.ilt import ilt_combine, ilt_query_points
+from neurallaplacecontrol_tpu.ops.ilt import ilt_combine
 from neurallaplacecontrol_tpu.ops.pallas_ilt import (
     fourier_weights,
     nl_head_fused,
