@@ -145,7 +145,13 @@ def train_model(
     if model_name == "latent_ode":
         from .train_latent_ode import train_latent_ode
 
-        return train_latent_ode(model, params, env, env_name, config, delay, ckpt_path)
+        # forward the caller's budget override — before r3 this was dropped,
+        # silently capping latent_ode at config.end_training_after_seconds
+        # (180 s) regardless of the driver's --train_seconds
+        return train_latent_ode(
+            model, params, env, env_name, config, delay, ckpt_path,
+            end_training_after_seconds=end_training_after_seconds,
+        )
 
     optimizer = make_optimizer(config)
     opt_state = optimizer.init(params)

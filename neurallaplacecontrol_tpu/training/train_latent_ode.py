@@ -47,7 +47,10 @@ def build_history_windows(s0, a0, sn, ts, window: int):
     return hist_s, hist_a, target, ts_m
 
 
-def train_latent_ode(model, params, env, env_name, config: Config, delay, ckpt_path):
+def train_latent_ode(
+    model, params, env, env_name, config: Config, delay, ckpt_path,
+    end_training_after_seconds=None,
+):
     optimizer = make_optimizer(config)
     opt_state = optimizer.init(params)
     batch_size = config.training_batch_size
@@ -73,7 +76,11 @@ def train_latent_ode(model, params, env, env_name, config: Config, delay, ckpt_p
         )
         return params, opt_state, losses
 
-    budget = config.end_training_after_seconds
+    budget = (
+        end_training_after_seconds
+        if end_training_after_seconds is not None
+        else config.end_training_after_seconds
+    )
     timer = Timer()
     best_loss = float("inf")
     epoch_losses = []

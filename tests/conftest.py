@@ -8,17 +8,37 @@ still covered by constructing explicit f32 arrays.
 
 import os
 
+# NLC_TPU_TESTS=1 keeps the real TPU backend so the @tpu-marked tests
+# (compiled-mode Pallas accuracy, tests/test_pallas_nl.py) can run on the
+# chip:  NLC_TPU_TESTS=1 python -m pytest tests -m tpu
+_REAL_TPU = os.environ.get("NLC_TPU_TESTS") == "1"
+
 # Must be set before the first jax import in the process.
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
+if not _REAL_TPU:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not _REAL_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """@pytest.mark.tpu tests only run under NLC_TPU_TESTS=1 (real chip);
+    everything else is skipped in that mode (the suite assumes CPU+x64)."""
+    skip_tpu = pytest.mark.skip(reason="needs NLC_TPU_TESTS=1 and a real TPU")
+    skip_cpu = pytest.mark.skip(reason="CPU-suite test skipped in TPU mode")
+    for item in items:
+        has_tpu = "tpu" in item.keywords
+        if has_tpu and not _REAL_TPU:
+            item.add_marker(skip_tpu)
+        elif not has_tpu and _REAL_TPU:
+            item.add_marker(skip_cpu)
 
 
 @pytest.fixture

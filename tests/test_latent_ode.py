@@ -175,3 +175,26 @@ def test_predict_diff_per_row_horizons(key):
     out_b, _ = model.predict_diff(params, key, obs, act, ts_b)
     np.testing.assert_allclose(np.asarray(out_a[0, 0]), np.asarray(out_b[0, 0]), atol=1e-12)
     assert float(jnp.abs(out_a[0, 1] - out_b[0, 1]).max()) > 1e-6
+
+
+def test_train_model_forwards_budget_override(tmp_path):
+    """Regression (r3): train_model must forward end_training_after_seconds
+    to the latent_ode trainer — before the fix the override was dropped and
+    config.end_training_after_seconds (180 s default) silently capped every
+    latent_ode run, including the driver's --train_seconds 8100."""
+    from neurallaplacecontrol_tpu.training import train_model
+
+    cfg = Config(
+        dt=0.5,
+        train_with_expert_trajectories=False,
+        train_samples_per_dim=3,
+        saved_models_path=str(tmp_path) + "/",
+        end_training_after_seconds=600.0,  # config says 10 min...
+        iters_per_log=50,
+    )
+    _, _, res = train_model(
+        "latent_ode", "oderl-pendulum", cfg, delay=0,
+        retrain=True, force_retrain=True,
+        end_training_after_seconds=6.0,  # ...caller says 6 s — must win
+    )
+    assert res["train_seconds"] < 120.0, res["train_seconds"]
