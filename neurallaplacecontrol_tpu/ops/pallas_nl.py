@@ -42,6 +42,22 @@ grid-sequential kernel serializes matmuls the XLA scheduler overlaps.
 Config.fused_nl_planner therefore stays default-False; the kernel is the
 packaged template for genuinely launch-bound serving paths (single-step
 model serving, tiny-K MPC) rather than the batch-compiled episode loop.
+
+ACCURACY VERDICT (v5e, artifacts/pallas_accuracy_r3.json, r2 item 2
+closed): vs an f64 ground truth the fused kernel is consistently CLOSER
+than the XLA apply (trained params, max err 0.077-0.19 vs XLA 0.12-0.41
+across B=1000..131072) — folding the normalizations and contour into the
+weights removes rounding steps. The r2 report of "max_rel_diff growing
+6.4 -> 173 with B" was a measurement artifact: an untrained model's
+pole-clipped phi puts raw outputs at magnitude ~2e4-4.5e4, and the
+per-sample relative-error distribution is flat in B (q99.9 = 2.9%
+untrained / 4.9% trained at B=1000 and B=131072 alike) — only the
+max-statistic grew, by sampling deeper tails. Both f32 paths share that
+~5% tail; it is f32 ILT conditioning (inverse-stereographic amplification
+near phi ~ pi/2), i.e. the cost of running the reference's float64 model
+(train_utils.py:267) in f32, not kernel error. Enforced on the real chip
+by tests/test_pallas_nl.py::test_fused_forward_compiled_accuracy_real_tpu
+(NLC_TPU_TESTS=1 -m tpu).
 """
 
 from __future__ import annotations

@@ -177,26 +177,36 @@ def test_cme_converges_on_held_out_pair():
         f = inverse_laplace(F, t, terms, "cme")
         errs.append(float(jnp.mean((f - true) ** 2)))
     assert errs == sorted(errs, reverse=True), errs
-    assert errs[1] < 2e-2, errs  # 17 terms usable
-    assert errs[-1] < 1e-4, errs  # 101 terms accurate
+    # r3 multi-phase calibration (scripts/calibrate_cme.py): measured
+    # 1.3e-4 at 17 terms, 6.2e-7 at 101 (bounds ~5x margin)
+    assert errs[1] < 7e-4, errs  # 17 terms
+    assert errs[-1] < 5e-6, errs  # 101 terms
 
 
 def test_cme_accuracy_bounds_quantified():
-    """Stated accuracy bounds for the independent CME construction
-    (VERDICT r1 weak-item 8): held-out transform pairs NOT used in the
-    (a, omega) calibration, at the flagship's term count (17 -> order 8)
-    and at 41 terms. Measured values (f64): 5e-6..7e-4 at 17 terms,
-    5e-7..8e-5 at 41 — roughly 100x better than the raw fourier series at
-    equal terms but far above dehoog's <=1e-12; use dehoog when ILT
-    accuracy itself matters. A numerically-optimized-weights variant
-    (least squares over analytic pairs, the torchlaplace licensed-table
-    approach) was evaluated and rejected: it overfits — held-out
-    1/sqrt(s) degrades from 7e-5 to 1e+2 (see round-2 notes)."""
+    """Stated accuracy bounds for the Horvath-Telek multi-phase CME
+    (VERDICT r2 item 3): held-out transform pairs NEVER part of the
+    calibration objective (the SCV is function-independent), at the
+    flagship's term count (17 -> order 8) and at 41 terms. Measured (f64,
+    scripts/calibrate_cme.py table): 8.5e-7 / 1.2e-4 / 8.3e-6 at 17 terms,
+    2.1e-8 / 3.2e-6 / 1.5e-7 at 41 — a 6-100x improvement over the r2
+    single-phase construction (5e-6..7e-4 / 5e-7..8e-5).
+
+    Why cos(t) sits at ~1e-4 at 17 terms and cannot do better: the CME ILT
+    is E[f(tX)] for a unit-mean density X, so the leading error is
+    (SCV/2) t^2 f''(t); with the order-17 SCV-optimal 0.00721 that
+    predicts MSE ~ (SCV/2)^2 E[t^4 cos^2 t] ~ 9e-5 — the measured 1.2e-4
+    IS the method's floor, not a calibration gap (see
+    test_cme_error_matches_scv_floor). All three pairs are <=1e-5 from 33
+    terms up. A least-squares-weights variant (the overfitting shortcut)
+    remains rejected: held-out 1/sqrt(s) degraded from 7e-5 to 1e+2 in the
+    round-2 evaluation. Use dehoog (<=1e-10 at 17 terms) when ILT accuracy
+    itself is the point."""
     t = jnp.linspace(0.1, 3.0, 200)
     pairs = [
-        (lambda s: 1 / (s + 1) ** 2, t * jnp.exp(-t), 1e-5, 1.5e-6),
-        (lambda s: s / (s * s + 1), jnp.cos(t), 1.5e-3, 2e-4),
-        (lambda s: 1 / jnp.sqrt(s), 1 / jnp.sqrt(jnp.pi * t), 1.5e-4, 5e-6),
+        (lambda s: 1 / (s + 1) ** 2, t * jnp.exp(-t), 3e-6, 1e-7),
+        (lambda s: s / (s * s + 1), jnp.cos(t), 4e-4, 1e-5),
+        (lambda s: 1 / jnp.sqrt(s), 1 / jnp.sqrt(jnp.pi * t), 3e-5, 5e-7),
     ]
     for F, true, bound17, bound41 in pairs:
         e17 = float(jnp.mean((inverse_laplace(F, t, 17, "cme") - true) ** 2))
@@ -206,6 +216,42 @@ def test_cme_accuracy_bounds_quantified():
         # and the gap vs dehoog is real: dehoog crushes it at 17 terms
         ed = float(jnp.mean((inverse_laplace(F, t, 17, "dehoog") - true) ** 2))
         assert ed < 1e-10, ed
+    # <=1e-5 across ALL held-out pairs from 33 terms (VERDICT r2 item 3
+    # target, met at the next valid order above the flagship's 17)
+    for F, true, _, _ in pairs:
+        e33 = float(jnp.mean((inverse_laplace(F, t, 33, "cme") - true) ** 2))
+        assert e33 < 1e-5, e33
+
+
+def test_cme_scv_matches_published_anchors():
+    """The calibrated table reproduces the published method's landmarks:
+    the order-3 optimum SCV 0.200902 (Horvath-Telek, known to 6 digits),
+    monotone SCV decay, and the ~2/N^2 law (N = 2n+1)."""
+    from neurallaplacecontrol_tpu.ops._cme_table import CME_PARAMS
+
+    scvs = {n: v[0] for n, v in CME_PARAMS.items()}
+    assert abs(scvs[1] - 0.200902) < 1e-5, scvs[1]
+    ns = sorted(scvs)
+    assert all(scvs[a] > scvs[b] for a, b in zip(ns, ns[1:])), "SCV must decrease"
+    for n in (4, 8, 16, 20):
+        N = 2 * n + 1
+        assert 1.0 / N**2 < scvs[n] < 3.0 / N**2, (n, scvs[n])
+
+
+def test_cme_error_matches_scv_floor():
+    """The measured cos(t) error at 17 terms matches the second-moment
+    prediction MSE ~ ((SCV/2) t^2 f'')^2 within 3x — evidence that the
+    calibration has reached the method's intrinsic floor rather than
+    leaving accuracy on the table."""
+    from neurallaplacecontrol_tpu.ops._cme_table import CME_PARAMS
+
+    scv = CME_PARAMS[8][0]
+    t = jnp.linspace(0.1, 3.0, 200)
+    true = jnp.cos(t)
+    measured = float(jnp.mean((inverse_laplace(
+        lambda s: s / (s * s + 1), t, 17, "cme") - true) ** 2))
+    predicted = float(jnp.mean((0.5 * scv * t**2 * (-jnp.cos(t))) ** 2))
+    assert predicted / 3 < measured < predicted * 3, (measured, predicted)
 
 
 def test_effective_terms_contract():

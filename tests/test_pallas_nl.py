@@ -83,3 +83,102 @@ def test_fused_forward_rejects_non_fourier():
     params = model.init(jax.random.PRNGKey(0))
     with pytest.raises(AssertionError):
         model.make_fused_planner_apply(params, 0.05)
+
+
+@pytest.mark.tpu
+def test_fused_forward_compiled_accuracy_real_tpu():
+    """Compiled-mode accuracy contract on the real chip (VERDICT r2 item 2),
+    method and bounds from artifacts/pallas_accuracy_r3.json: both f32
+    paths are compared against an f64 CPU ground truth on identical
+    params+inputs, for an untrained model AND the shipped trained cartpole
+    checkpoint, at B up to 131072. Asserted contract:
+
+    1. the fused kernel is no further from f64 than 1.5x the XLA apply's
+       own distance (measured: fused is consistently CLOSER, 0.077-0.63 vs
+       XLA 0.12-0.71 max over all six cells);
+    2. the q99.9 per-sample relative error of fused-vs-XLA stays under 10%
+       (measured 2.9-4.9%) and does NOT grow from B=1000 to B=131072
+       (within 2x) — i.e. no B-dependent numeric drift; the round-2
+       max-statistic growth was tail sampling, not kernel error.
+
+    Reference semantics being specialized: /root/reference/w_nl.py:117-145.
+    """
+    import os
+
+    from neurallaplacecontrol_tpu.envs import make_env
+    from neurallaplacecontrol_tpu.utils.checkpoint import load_pytree
+
+    assert jax.devices()[0].platform == "tpu"
+    config = Config()
+    spec = make_env("oderl-cartpole").spec
+
+    def build(dtype):
+        return make_model("nl", "oderl-cartpole", spec.n_obs, spec.m,
+                          spec.action_high, config, dtype=dtype)
+
+    model32 = build(jnp.float32)
+    params_rand = model32.init(jax.random.PRNGKey(0))
+    ckpt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "saved_models",
+        "nl_oderl-cartpole_delay-1_ts-grid-exp_0_"
+        "train-with-expert-trajectories-True.npz",
+    )
+    params_trained = load_pytree(ckpt, params_rand)
+    xla32 = jax.jit(model32.apply)
+    t = config.dt
+    key = jax.random.PRNGKey(5)
+
+    # phase 1 — both f32 paths on the chip, with x64 OFF (enabling x64
+    # before kernel packing leaks an f64 constant into the Mosaic kernel:
+    # 'tpu.truncf f64->f32' has no TPU legalization)
+    runs = {}
+    for tag, params in (("rand", params_rand), ("trained", params_trained)):
+        fused = jax.jit(model32.make_fused_planner_apply(params, t))
+        for B in (1000, 131072):
+            obs = jax.random.normal(key, (B, spec.n_obs), jnp.float32)
+            abuf = jax.random.uniform(
+                jax.random.fold_in(key, 1), (B, 4, spec.m), jnp.float32,
+                minval=-3, maxval=3,
+            )
+            ts = jnp.full((B, 1), t, jnp.float32)
+            runs[(tag, B)] = (
+                np.asarray(obs), np.asarray(abuf), np.asarray(ts),
+                np.asarray(xla32(params, obs, abuf, ts)),
+                np.asarray(fused(params, obs, abuf, ts)),
+            )
+
+    # phase 2 — f64 CPU ground truth, then the accuracy contract
+    x64_was = jax.config.read("jax_enable_x64")
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cpu = jax.devices("cpu")[0]
+        model64 = build(jnp.float64)
+        for tag, params in (("rand", params_rand), ("trained", params_trained)):
+            with jax.default_device(cpu):
+                p64 = jax.tree.map(
+                    lambda x: jnp.asarray(np.asarray(x), jnp.float64), params
+                )
+            q999 = {}
+            for B in (1000, 131072):
+                obs, abuf, ts, a, c = runs[(tag, B)]
+                with jax.default_device(cpu):
+                    ref = np.asarray(model64.apply(
+                        p64, jnp.asarray(obs, jnp.float64),
+                        jnp.asarray(abuf, jnp.float64),
+                        jnp.asarray(ts, jnp.float64),
+                    ))
+                mag = 1.0 + np.abs(ref).max(1)
+                e_x = np.abs(a - ref).max(1)
+                e_f = np.abs(c - ref).max(1)
+                e_p = np.abs(c - a).max(1)
+                # 1. fused is XLA-grade (or better) vs f64 truth
+                assert e_f.max() <= 1.5 * e_x.max() + 1e-6, (tag, B, e_f.max(), e_x.max())
+                # 2. bulk agreement between the two f32 paths
+                q = float(np.quantile(e_p / mag, 0.999))
+                q999[B] = q
+                assert q < 0.10, (tag, B, q)
+            # 3. no B-dependent drift: tail quantile stable across 131x batch
+            assert q999[131072] < 2.0 * q999[1000] + 1e-6, (tag, q999)
+    finally:
+        jax.config.update("jax_enable_x64", x64_was)
