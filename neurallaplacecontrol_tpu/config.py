@@ -67,6 +67,12 @@ class Config:
     nl_ilt_algorithm: str = "fourier"
     nl_hidden_units: int = 128
     nl_s_recon_terms: int = 17
+    # mixed precision for the NL matmul stack (GRU + trunk MLP): "bfloat16"
+    # runs the network compute in bf16 with f32 accumulation on the MXU,
+    # while normalization, sphere angles, and the ILT combine stay f32.
+    # Measured on v5e: see artifacts/bench_bf16_r3.json; planning accuracy
+    # is noise-dominated (tests/test_models.py::test_nl_bf16_compute)
+    nl_compute_dtype: str = "float32"
     node_method: str = "euler"
     node_augment_dim: int = 1
     node_hidden_units: int = 270

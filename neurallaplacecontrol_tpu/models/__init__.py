@@ -42,6 +42,7 @@ def make_model(
             hidden_units=config.nl_hidden_units,
             s_recon_terms=config.nl_s_recon_terms,
             ilt_algorithm=config.nl_ilt_algorithm,
+            compute_dtype=config.nl_compute_dtype,
             **common,
         )
     if model_name == "rnn":

@@ -45,6 +45,7 @@ def make_nl_model(
     normalize_time: bool = True,
     dt: float = 0.05,
     dtype=jnp.float32,
+    compute_dtype: str = "float32",
 ) -> DynamicsModel:
     if ilt_algorithm == "cme":
         s_recon_terms = snap_cme_terms(s_recon_terms)  # w_nl.py:86-88
@@ -80,10 +81,24 @@ def make_nl_model(
             ),
         }
 
+    # mixed precision: run the matmul stack (GRU + trunk MLP) in bf16 on
+    # the MXU while everything numerically delicate — normalization, the
+    # bounded sphere angles, and the ILT's damped trig combine — stays
+    # f32. tanh keeps the bf16 activations in (-1, 1) so the only hit is
+    # ~3 fewer mantissa bits inside the network, which MPPI's
+    # noise-dominated cost ranking does not resolve (tests pin this).
+    _cdtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
+
+    def _compute_cast(tree):
+        if _cdtype == jnp.float32:
+            return tree
+        return jax.tree.map(lambda x: x.astype(_cdtype), tree)
+
     def rep_fn(params, theta_s, phi_s, p):
         """(theta_s, phi_s)[B,terms] + p[B,L] -> sphere angles [B,D,terms]."""
         x = jnp.concatenate([theta_s, phi_s, p], axis=-1)
-        out = mlp_apply_tanh(params, x)
+        out = mlp_apply_tanh(_compute_cast(params), _compute_cast(x))
+        out = out.astype(jnp.float32) if _cdtype != jnp.float32 else out
         out = out.reshape(out.shape[:-1] + (2 * state_dim, s_recon_terms))
         theta = jnp.tanh(out[..., :state_dim, :]) * jnp.pi  # (-pi, pi)
         phi = jnp.tanh(out[..., state_dim:, :]) * (jnp.pi / 2.0)  # (-pi/2, pi/2)
@@ -119,9 +134,10 @@ def make_nl_model(
         if act_n.ndim == 2:
             act_n = act_n[:, None, :]
         # reverse GRU encoder (w_nl.py:25-29): flip time, 2-layer GRU, linear
-        rev = jnp.flip(act_n, axis=1)
-        h = gru_apply(params["encoder"]["gru"], rev)
-        p_action = linear_apply(params["encoder"]["out"], h)
+        rev = _compute_cast(jnp.flip(act_n, axis=1))
+        enc = _compute_cast(params["encoder"])
+        h = gru_apply(enc["gru"], rev)
+        p_action = linear_apply(enc["out"], h).astype(obs_n.dtype)
         p = jnp.concatenate([obs_n, p_action], axis=-1)
         return laplace_reconstruct(
             partial(rep_fn, params["laplace_rep"]),

@@ -117,7 +117,6 @@ def main():
 
     rng = np.random.default_rng(0)
     table = {}
-    warm = []
     params = None
     for n in orders + extras:
         t0 = time.time()

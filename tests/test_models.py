@@ -125,3 +125,53 @@ def test_overfit_small_batch(model_name):
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] / 100.0, f"{model_name}: {losses[0]} -> {losses[-1]}"
+
+
+def test_nl_bf16_compute_matches_f32():
+    """nl_compute_dtype='bfloat16' runs the GRU+MLP stack in bf16 on the
+    MXU while the sphere/ILT stay f32: on a TRAINED checkpoint (an
+    untrained model's pole-scale outputs amplify any perturbation — see
+    artifacts/pallas_accuracy_r3.json) outputs track the f32 model to bf16
+    resolution (measured: max rel 4.8%, median 0.37% at B=512), gradients
+    stay finite, and the params pytree is unchanged so checkpoints are
+    interchangeable between the two modes."""
+    import os
+
+    env = make_env("oderl-cartpole")
+    kw = dict(dtype=jnp.float32)
+    m32 = make_model("nl", "oderl-cartpole", env.spec.n_obs, env.spec.m,
+                     env.spec.action_high, Config(), **kw)
+    mbf = make_model("nl", "oderl-cartpole", env.spec.n_obs, env.spec.m,
+                     env.spec.action_high,
+                     Config(nl_compute_dtype="bfloat16"), **kw)
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: a.shape == b.shape and a.dtype == b.dtype,
+        m32.init(jax.random.PRNGKey(0)), mbf.init(jax.random.PRNGKey(0))))
+    from neurallaplacecontrol_tpu.utils.checkpoint import load_pytree
+
+    ckpt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "saved_models",
+        "nl_oderl-cartpole_delay-1_ts-grid-exp_0_"
+        "train-with-expert-trajectories-True.npz",
+    )
+    params = load_pytree(ckpt, m32.init(jax.random.PRNGKey(0)))
+    key = jax.random.PRNGKey(3)
+    B = 512
+    obs = jax.random.normal(key, (B, env.spec.n_obs), jnp.float32)
+    abuf = jax.random.uniform(jax.random.fold_in(key, 1), (B, 4, env.spec.m),
+                              jnp.float32, minval=-3, maxval=3)
+    ts = jnp.full((B, 1), 0.05, jnp.float32)
+    a = jax.jit(m32.apply)(params, obs, abuf, ts)
+    b = jax.jit(mbf.apply)(params, obs, abuf, ts)
+    assert b.dtype == jnp.float32
+    rel = np.abs(np.asarray(a - b)) / (1.0 + np.abs(np.asarray(a)))
+    assert np.all(np.isfinite(np.asarray(b)))
+    assert rel.max() < 0.10, rel.max()  # bf16 resolution through the ILT
+    assert np.median(rel) < 0.01, np.median(rel)
+
+    def loss(p):
+        return jnp.mean(mbf.apply(p, obs, abuf, ts) ** 2)
+
+    grads = jax.grad(loss)(params)
+    assert jax.tree.all(jax.tree.map(lambda g: bool(jnp.all(jnp.isfinite(g))), grads))
