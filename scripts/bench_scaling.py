@@ -31,8 +31,9 @@ from neurallaplacecontrol_tpu.training.rollout import (  # noqa: E402
 )
 
 
-def main(ks=(1000, 4096, 16384, 65536, 262144), T=40, reps=20):
-    config = Config()
+def main(ks=(1000, 4096, 16384, 65536, 262144), T=40, reps=20, dtype="float32"):
+    config = Config(nl_compute_dtype=dtype)
+    print(f"nl_compute_dtype={dtype}")
     env = make_env("oderl-cartpole")
     spec = env.spec
     model = make_model("nl", "oderl-cartpole", spec.n_obs, spec.m, spec.action_high, config)
