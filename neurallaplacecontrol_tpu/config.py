@@ -89,6 +89,16 @@ class Config:
     # (ops.pallas_nl; TPU only, fourier ILT only — see scripts/bench_pallas.py
     # for the measured speedup); training still uses the XLA apply
     fused_nl_planner: bool = False
+    # hoist the NL reverse-GRU action encoding out of the MPPI horizon scan:
+    # all K x T candidate windows are known before the rollout, so they
+    # encode in ONE batched call instead of T sequential ones
+    # (planners.mppi_delay window_encoder; same math, different GEMM
+    # batching — tests/test_precompute_planner.py pins parity). MEASURED
+    # verdict on v5e (artifacts/bench_precompute_r3.json): stays OFF — the
+    # [K*T, 3H] gate tensors spill to HBM while the in-scan batches stay
+    # VMEM-resident and fuse with the decode (0.35x episode throughput at
+    # the reference shape, 0.73x isolated at hidden=512)
+    nl_planner_precompute: bool = False
 
     # episode / env protocol
     encode_obs_time: bool = False

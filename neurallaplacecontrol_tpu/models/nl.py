@@ -112,9 +112,26 @@ def make_nl_model(
         acts = (acts - action_mean) / action_std if normalize else acts / 3.0
         return jnp.concatenate([acts, action_buffer[..., action_dim:]], axis=-1)
 
-    def apply(params, obs, action_buffer, ts):
-        """obs [B,n], action_buffer [B,A,m(+t)], ts [B,1] or [B] -> [B,n]."""
+    def _encode_actions(params, action_buffer, out_dtype):
+        """Reverse-GRU action encoding (w_nl.py:25-29): normalize, flip
+        time, 2-layer GRU, linear head -> [..., 2] action latent. Works on
+        any leading batch shape (extra leading dims are flattened into the
+        GRU batch and restored) — the planner pre-encodes [K, T] windows
+        through the SAME ops as the per-call [B] path, so the two are
+        numerically identical up to GEMM batching."""
         act_n = _norm_actions(action_buffer)
+        if act_n.ndim == 2:
+            act_n = act_n[:, None, :]
+        lead = act_n.shape[:-2]
+        rev = _compute_cast(jnp.flip(act_n, axis=-2))
+        rev = rev.reshape((-1,) + rev.shape[-2:])
+        enc = _compute_cast(params["encoder"])
+        h = gru_apply(enc["gru"], rev)
+        p_action = linear_apply(enc["out"], h).astype(out_dtype)
+        return p_action.reshape(lead + (_ACTION_LATENT,))
+
+    def _decode(params, obs, p_action, ts):
+        """Laplace-side forward given a pre-encoded action latent."""
         if normalize:
             obs_n = (obs - state_mean) / state_std
             if normalize_time:
@@ -131,14 +148,7 @@ def make_nl_model(
         ts = jnp.maximum(
             ts, 2.5e-3 if (normalize and normalize_time) else 2.5e-3 * dt * 8.0
         )
-        if act_n.ndim == 2:
-            act_n = act_n[:, None, :]
-        # reverse GRU encoder (w_nl.py:25-29): flip time, 2-layer GRU, linear
-        rev = _compute_cast(jnp.flip(act_n, axis=1))
-        enc = _compute_cast(params["encoder"])
-        h = gru_apply(enc["gru"], rev)
-        p_action = linear_apply(enc["out"], h).astype(obs_n.dtype)
-        p = jnp.concatenate([obs_n, p_action], axis=-1)
+        p = jnp.concatenate([obs_n, p_action.astype(obs_n.dtype)], axis=-1)
         return laplace_reconstruct(
             partial(rep_fn, params["laplace_rep"]),
             p,
@@ -148,7 +158,38 @@ def make_nl_model(
             terms=s_recon_terms,
         )
 
+    def apply(params, obs, action_buffer, ts):
+        """obs [B,n], action_buffer [B,A,m(+t)], ts [B,1] or [B] -> [B,n]."""
+        p_action = _encode_actions(params, action_buffer, obs.dtype)
+        return _decode(params, obs, p_action, ts)
+
     model = DynamicsModel(name="nl", init=init, apply=apply)
+
+    def make_planner_window_encoder(params):
+        """Planner hook (planners.mppi_delay window_encoder): encode all
+        K x T candidate action windows in ONE batched reverse-GRU call
+        before the horizon scan. Valid because the NL window encoding is
+        state-independent (w_nl.py:117-127: the GRU sees only the action
+        window), so hoisting it out of the sequential rollout changes
+        nothing semantically — it removes ~2 layers x A steps of small
+        GEMMs from the latency-critical chain per horizon step. Measured
+        verdict on v5e: the hoisted batch's HBM traffic outweighs the
+        chain shortening at every tested width — default OFF
+        (artifacts/bench_precompute_r3.json)."""
+
+        def encode(windows):  # [K, T, A, m(+age)] -> [K, T, 2]
+            return _encode_actions(params, windows, jnp.float32)
+
+        return encode
+
+    def apply_encoded(params, obs, p_action, ts):
+        """model.apply with the action latent precomputed (see
+        make_planner_window_encoder); apply(params, o, w, ts) ==
+        apply_encoded(params, o, encode(w), ts) by construction."""
+        return _decode(params, obs, p_action, ts)
+
+    object.__setattr__(model, "make_planner_window_encoder", make_planner_window_encoder)
+    object.__setattr__(model, "apply_encoded", apply_encoded)
 
     def make_fused_planner_apply(params, t: float):
         """Planner-specialized forward as ONE fused Pallas kernel

@@ -152,6 +152,7 @@ def make_k_sharded_mppi_command(
     mesh: Mesh,
     terminal_state_cost=None,
     dynamics_carry_init=None,
+    window_encoder=None,
 ):
     """MPPI command with the K rollout batch sharded over every mesh device.
 
@@ -185,6 +186,8 @@ def make_k_sharded_mppi_command(
             time_buffer=time_buffer,
             cost_args=cost_args,
             axis=axis,
+            # per-device: encodes only the local K/n-slice of windows
+            window_encoder=window_encoder,
         )
 
     from jax import shard_map

@@ -129,9 +129,21 @@ def mppi_command_core(
     time_buffer: Optional[jnp.ndarray] = None,  # [A] ages, encode_obs_time
     cost_args: tuple = (),  # extra replicated args for running_cost_fn
     axis=None,  # collective axis name(s) when running inside shard_map
+    window_encoder: Optional[Callable] = None,
 ):
     """The planning step given pre-sampled noise (steps 2-7 of the module
     docstring, minus the U shift and the noise draw).
+
+    ``window_encoder`` hoists the dynamics model's action-window encoding
+    out of the horizon scan: every candidate action is known BEFORE the
+    rollout (step 3 — the windows are slices of one pre-built tensor), so a
+    model whose window processing is state-independent (the NL flagship's
+    reverse-GRU, w_nl.py:117-127) can encode all K x T windows in ONE
+    batched call instead of T sequential ones inside the scan. When set,
+    ``window_encoder(windows [K, T, A, nu(+age)]) -> ctx`` (pytree, leaves
+    [K, T, ...]) runs once, and ``dynamics_fn(state, ctx_t)`` receives the
+    per-step slice instead of the raw window. Incompatible with
+    ``dynamics_carry_init`` (carried models encode history themselves).
 
     With ``axis=None`` this is the complete single-chip computation. Inside
     ``shard_map`` (parallel.sharding.make_k_sharded_mppi_command) the SAME
@@ -224,6 +236,45 @@ def mppi_command_core(
         else jnp.flip(jnp.arange(A, dtype=scaled.dtype)) * cfg.dt
     )
 
+    ctx_scan = None
+    if window_encoder is not None:
+        assert dynamics_carry_init is None, (
+            "window_encoder is for state-independent window encodings; "
+            "carried dynamics encode history themselves"
+        )
+        # build every horizon window at once: windows_all[k, t, a] =
+        # full[k, t + a], assembled as A contiguous shifted slices (an
+        # advanced-index gather here lowers to a per-row gather under the
+        # episode vmap on TPU — measured 3x episode slowdown). Costs A x
+        # the HBM footprint of the action sequences plus the encoder's
+        # activations at K*T rows — at the K~10^5 sweep regime prefer
+        # window_encoder=None.
+        windows_all = jnp.stack(
+            [full[:, a : a + T, :] for a in range(A)], axis=2
+        )  # [K, T, A, nu]
+        if cfg.encode_obs_time:
+            # the ages the scan would see at step t: ages0 advanced t+1
+            # times (rollout_step advances BEFORE augmenting); T is static
+            ages_list, ages_t = [], ages0
+            for _ in range(T):
+                ages_t = step_ages(ages_t)
+                ages_list.append(ages_t)
+            ages_all = jnp.stack(ages_list)  # [T, A]
+            aug = jnp.broadcast_to(
+                ages_all[None, :, :, None], (K, T, A, 1)
+            ).astype(windows_all.dtype)
+            windows_all = jnp.concatenate([windows_all, aug], axis=-1)
+        ctx = window_encoder(windows_all)
+        # time-leading for the scan; tile rows for the M trajectory samples
+        ctx_scan = jax.tree_util.tree_map(
+            lambda x: jnp.moveaxis(x, 0, 1)
+            if M == 1
+            else jnp.tile(
+                jnp.moveaxis(x, 0, 1), (1, M) + (1,) * (x.ndim - 2)
+            ),
+            ctx,
+        )
+
     var0 = jnp.zeros((K,), state0.dtype)
     if axis is not None and M > 1:
         var0 = _pvary(var0, axis)  # accumulates varying costs
@@ -238,18 +289,25 @@ def mppi_command_core(
 
     if dynamics_carry_init is None:
 
-        def rollout_step(carry, t):
+        def rollout_step(carry, xs):
+            t, ctx_t = xs if ctx_scan is not None else (xs, None)
             window = window_at(t)
             state, ages, cost_var = carry
             ages = step_ages(ages)
-            state = call_dynamics(state, tile_window(augment_window(window, ages)), t)
+            dyn_in = (
+                ctx_t
+                if ctx_t is not None
+                else tile_window(augment_window(window, ages))
+            )
+            state = call_dynamics(state, dyn_in, t)
             u = tile_window(window)[:, -1, :]  # current executed action (:288)
             c = running_cost_fn(state, u, *cost_args)
             c, cost_var = cost_stats(c, t, cost_var)
             return (state, ages, cost_var), outputs(c, state)
 
+        xs_scan = tidx if ctx_scan is None else (tidx, ctx_scan)
         (_, _, cost_var), (costs, states) = lax.scan(
-            rollout_step, (state0, ages0, var0), tidx
+            rollout_step, (state0, ages0, var0), xs_scan
         )
     else:
 
@@ -334,6 +392,7 @@ def mppi_command(
     dynamics_carry_init: Optional[Callable] = None,
     time_buffer: Optional[jnp.ndarray] = None,  # [A] ages, encode_obs_time
     cost_args: tuple = (),
+    window_encoder: Optional[Callable] = None,
 ):
     """One planning step. Returns (action [nu] in env units, new U, aux).
 
@@ -342,6 +401,9 @@ def mppi_command(
     ``dynamics_fn(carry, state, window) -> (carry, next_state)`` — used by
     history-conditioned models like the latent-ODE
     (models.latent_ode.make_carried_dynamics).
+
+    ``window_encoder`` pre-encodes all K x T action windows in one batched
+    call before the rollout scan (see mppi_command_core).
     """
     # 1. receding horizon shift
     U = jnp.roll(U, -1, axis=0).at[-1].set(params.u_init)
@@ -352,6 +414,7 @@ def mppi_command(
         dynamics_carry_init=dynamics_carry_init,
         time_buffer=time_buffer,
         cost_args=cost_args,
+        window_encoder=window_encoder,
     )
 
 

@@ -85,6 +85,7 @@ def evaluate_policy(
     mppi_params = make_mppi_params(default_noise_sigma(spec.m, config.mppi_sigma, dtype=dtype))
 
     dynamics_carry_init = None
+    window_encoder = None
     if model_name == "oracle":
         dynamics = build_oracle_dynamics(env, roll_outs, dt, action_delay)
     elif model_name == "random":
@@ -121,10 +122,30 @@ def evaluate_policy(
                 lambda x: jnp.asarray(x, jnp.float32), params
             )
             model_apply = m.make_fused_planner_apply(f32_params, dt)
-        dynamics = build_learned_dynamics(
-            env, model_apply, params, roll_outs, dt,
-            action_buffer_size=config.action_buffer_size,
-        )
+        if (
+            model_name == "nl"
+            and config.nl_planner_precompute
+            and not config.fused_nl_planner
+        ):
+            # hoist the reverse-GRU window encoding out of the horizon scan
+            # (planners.mppi_delay window_encoder): rebuild the model from
+            # config (same factory => same param tree) to reach the
+            # encoder/decoder split, then pre-encode all K x T windows per
+            # planning step in one batched call
+            from ..models import make_model
+            from .rollout import build_learned_dynamics_encoded
+
+            m = make_model(
+                "nl", env_name, spec.n_obs, spec.m, spec.action_high, config,
+            )
+            window_encoder, dynamics = build_learned_dynamics_encoded(
+                m, params, dt
+            )
+        else:
+            dynamics = build_learned_dynamics(
+                env, model_apply, params, roll_outs, dt,
+                action_buffer_size=config.action_buffer_size,
+            )
 
     settings = EpisodeSettings(
         delay=action_delay,
@@ -154,6 +175,7 @@ def evaluate_policy(
         command_fn = make_k_sharded_mppi_command(
             mppi_cfg, mppi_params, dynamics, cost_fn, mesh,
             dynamics_carry_init=dynamics_carry_init,
+            window_encoder=window_encoder,
         )
 
     keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
@@ -167,7 +189,7 @@ def evaluate_policy(
         episode = jax.jit(make_episode_fn(
             env, dynamics, mppi_cfg, mppi_params, settings,
             dynamics_carry_init=dynamics_carry_init, command_fn=command_fn,
-        ))
+        ))  # the sharded command_fn already owns its window_encoder
         compiled = episode.lower(keys[0]).compile()
         t0 = time.perf_counter()
         with profile_trace(profile_trace_dir):
@@ -182,6 +204,7 @@ def evaluate_policy(
         episode_batch = make_batched_episode_fn(
             env, dynamics, mppi_cfg, mppi_params, settings,
             dynamics_carry_init=dynamics_carry_init,
+            window_encoder=window_encoder,
         )
         if shard_seeds and len(jax.devices()) > 1 and keys.shape[0] % len(jax.devices()) == 0:
             # spread independent seed-episodes across the chip mesh — the

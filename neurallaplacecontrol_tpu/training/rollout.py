@@ -74,6 +74,27 @@ def build_learned_dynamics(env: Env, model_apply: Callable, params, roll_outs: i
     return dynamics
 
 
+def build_learned_dynamics_encoded(model, params, dt: float):
+    """Planner dynamics with the model's action-window encoding hoisted out
+    of the horizon scan (planners.mppi_delay ``window_encoder``).
+
+    For the NL flagship the window encoding (reverse-GRU, w_nl.py:117-127)
+    depends only on the candidate actions, which MPPI samples in full BEFORE
+    the rollout — so all K x T windows encode in one batched call and the
+    per-step dynamics is just the Laplace decode. Returns
+    ``(window_encoder, dynamics)``; semantics match build_learned_dynamics
+    exactly (next = state + model(state, window, dt)), the split only
+    changes GEMM batching.
+    """
+    encode = model.make_planner_window_encoder(params)
+
+    def dynamics(state, p_action_t):
+        ts_pred = jnp.full((state.shape[0], 1), dt, dtype=state.dtype)
+        return state + model.apply_encoded(params, state, p_action_t, ts_pred)
+
+    return encode, dynamics
+
+
 def build_oracle_dynamics(env: Env, roll_outs: int, dt: float, delay: int) -> Callable:
     """Closed-form oracle dynamics closure (mppi_with_model.py:129-143)."""
     del roll_outs  # batch inferred from state (see build_learned_dynamics)
@@ -135,6 +156,7 @@ def make_episode_fn(
     settings: EpisodeSettings,
     dynamics_carry_init: Optional[Callable] = None,
     command_fn: Optional[Callable] = None,
+    window_encoder: Optional[Callable] = None,
 ):
     """Build the jittable episode function: key -> (total_reward, records).
 
@@ -192,6 +214,7 @@ def make_episode_fn(
                     U, obs, buffer, k_noise,
                     dynamics_carry_init=dynamics_carry_init,
                     time_buffer=ages if settings.encode_obs_time else None,
+                    window_encoder=window_encoder,
                 )
             if settings.explore_noise is not None and not settings.random_policy:
                 # expert-collection exploration on top of the planner action
@@ -241,10 +264,12 @@ def make_episode_fn(
 
 
 def make_batched_episode_fn(env, dynamics_fn, mppi_cfg, mppi_params, settings,
-                            dynamics_carry_init=None, command_fn=None):
+                            dynamics_carry_init=None, command_fn=None,
+                            window_encoder=None):
     """vmap the episode over a batch of PRNG keys — replaces the process
     pools at run_exp_multi.py:145 / mppi_dataset_collector.py:411."""
     episode = make_episode_fn(env, dynamics_fn, mppi_cfg, mppi_params, settings,
                               dynamics_carry_init=dynamics_carry_init,
-                              command_fn=command_fn)
+                              command_fn=command_fn,
+                              window_encoder=window_encoder)
     return jax.jit(jax.vmap(episode))
