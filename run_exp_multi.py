@@ -108,6 +108,13 @@ def main(argv=None):
         "train_model (training/ensemble.py CAVEAT), and per-delay training "
         "is the known-good path for NL (scripts/run_matrix_r2b.sh).",
     )
+    parser.add_argument(
+        "--profile_trace_dir", type=str, default=None,
+        help="capture a jax.profiler trace of each cell's evaluation into "
+        "<dir>/<env>_<model>_d<delay>/ (utils/timing.py profile_trace; "
+        "view in Perfetto — see artifacts/trace_nl_episode_r3/). The "
+        "reference has no tracing at all (SURVEY.md §5).",
+    )
     ns, rest = parser.parse_known_args(argv)
     config = parse_args(rest)
 
@@ -228,6 +235,11 @@ def main(argv=None):
                         extra = dict(
                             model_apply=model if model_name == "latent_ode" else model.apply,
                             params=params,
+                        )
+                    if ns.profile_trace_dir:
+                        extra["profile_trace_dir"] = (
+                            f"{ns.profile_trace_dir}/"
+                            f"{env_name}_{model_name}_d{delay}"
                         )
                     r = evaluate_policy(
                         model_name, env_name, delay, seeds=seeds, config=config, **extra

@@ -175,3 +175,31 @@ def test_driver_ensemble_excludes_flagship_by_default(tmp_path, monkeypatch):
     run_exp_multi.main(argv)
     assert not ensembled
     assert {(m, d) for m, d in individual if m == "nl"} >= {("nl", 0), ("nl", 1)}
+
+
+def test_driver_profile_trace_flag(tmp_path):
+    """--profile_trace_dir captures a per-cell jax.profiler trace during
+    evaluation (the first-class tracing switch SURVEY.md §5 calls for)."""
+    results = str(tmp_path / "results.jsonl")
+    trace_root = str(tmp_path / "traces")
+    argv = [
+        "--envs", "oderl-pendulum",
+        "--delays", "0",
+        "--models", "random",
+        "--results", results,
+        "--seed_runs", "2",
+        "--dt", "0.5",
+        "--mppi_roll_outs", "8",
+        "--mppi_time_steps", "3",
+        "--saved_models_path", str(tmp_path) + "/",
+        "--log_folder", str(tmp_path),
+        "--profile_trace_dir", trace_root,
+    ]
+    run_exp_multi.main(argv)
+    cell_dir = os.path.join(trace_root, "oderl-pendulum_random_d0")
+    assert os.path.isdir(cell_dir)
+    # the profiler writes under plugins/profile/<ts>/; any file suffices
+    found = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(cell_dir) for f in fs
+    ]
+    assert found, "trace directory is empty"
