@@ -436,8 +436,12 @@ def mppi_rollout_states(
     scaled = jnp.broadcast_to(U[None] * cfg.u_scale, (num_rollouts, T, cfg.nu))
     hist = jnp.broadcast_to(action_buffer[1:][None], (num_rollouts, A - 1, cfg.nu))
     full = jnp.concatenate([hist, scaled], axis=1)
-    idx = jnp.arange(T)[:, None] + jnp.arange(A)[None, :]
-    windows = jnp.swapaxes(full[:, idx, :], 0, 1)
+    # A contiguous shifted slices, not an advanced-index gather — the
+    # gather lowers to a per-row copy under vmap on TPU (measured 3x
+    # slowdown in the planner's window build; bench_precompute_r3)
+    windows = jnp.swapaxes(
+        jnp.stack([full[:, a : a + T, :] for a in range(A)], axis=2), 0, 1
+    )
     state0 = jnp.broadcast_to(obs[None], (num_rollouts,) + obs.shape)
 
     def step(state, window):
