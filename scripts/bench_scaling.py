@@ -71,4 +71,11 @@ def main(ks=(1000, 4096, 16384, 65536, 262144), T=40, reps=20, dtype="float32"):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ks", default="1000,4096,16384,65536,262144")
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--reps", type=int, default=20)
+    a = ap.parse_args()
+    main(ks=tuple(int(k) for k in a.ks.split(",")), reps=a.reps, dtype=a.dtype)

@@ -10,6 +10,7 @@ with the rollout batch sharded via evaluate_policy(shard_rollouts=True)
 Writes one JSONL record to artifacts/results_bigk.jsonl.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -17,16 +18,34 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from neurallaplacecontrol_tpu.config import Config  # noqa: E402
+from neurallaplacecontrol_tpu.envs import make_env  # noqa: E402
+from neurallaplacecontrol_tpu.models import make_model  # noqa: E402
 from neurallaplacecontrol_tpu.training import evaluate_policy, train_model  # noqa: E402
 
 
 def main():
-    cfg = Config()
-    model, params, _ = train_model("nl", "oderl-cartpole", cfg, delay=1, retrain=False)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--roll_outs", type=int, default=16384)
+    # "bfloat16" sets the planner's big-K peak: 1.17x at K=16384, 1.58x at
+    # K=65536, control quality at parity on the trained checkpoint
+    # (artifacts/results_bigk_bf16_r3.jsonl)
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    args = ap.parse_args()
+
+    cfg = Config(nl_compute_dtype=args.dtype)
+    model, params, _ = train_model("nl", "oderl-cartpole", Config(), delay=1, retrain=False)
+    if args.dtype != "float32":
+        # rebuild the model structure at the requested compute dtype; the
+        # f32 checkpoint is interchangeable (tests/test_models.py)
+        spec = make_env("oderl-cartpole", dt=cfg.dt).spec
+        model = make_model(
+            "nl", "oderl-cartpole", spec.n_obs, spec.m, spec.action_high, cfg
+        )
     r = evaluate_policy(
         "nl", "oderl-cartpole", 1, seeds=[0, 1], config=cfg,
-        model_apply=model.apply, params=params, roll_outs=16384,
+        model_apply=model.apply, params=params, roll_outs=args.roll_outs,
     )
+    r["nl_compute_dtype"] = args.dtype
     r["errored"] = False
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "artifacts", "results_bigk.jsonl")
