@@ -87,6 +87,23 @@ def main():
     spec = make_env(env_name, dt=config.dt).spec
     model = make_model("nl", env_name, spec.n_obs, spec.m, spec.action_high, config)
     params = model.init(jax.random.PRNGKey(0))
+    # prefer the shipped trained checkpoint (saved_models/, the round-2
+    # matrix flagship) — throughput is shape-determined either way, but the
+    # headline then measures the ACTUAL deployed model in the loop
+    try:
+        import os
+
+        from neurallaplacecontrol_tpu.utils.checkpoint import load_pytree
+
+        ckpt = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "saved_models",
+            "nl_oderl-cartpole_delay-1_ts-grid-exp_0_"
+            "train-with-expert-trajectories-True.npz",
+        )
+        if os.path.exists(ckpt):
+            params = load_pytree(ckpt, params)
+    except Exception:  # noqa: BLE001 — a missing/corrupt ckpt must not kill the bench
+        pass
 
     # 8 episodes vmapped — the evaluation protocol's real operating point
     # (the experiment grid runs 20-seed batches); 2 episodes leave the chip
