@@ -85,6 +85,9 @@ class Config:
     mppi_time_steps: int = 40
     mppi_lambda: float = 1.0
     mppi_sigma: float = 1.0
+    # lax.scan unroll factor for the planner's horizon rollout (semantics
+    # neutral; measured verdict in PERF.md)
+    mppi_scan_unroll: int = 1
     # run the NL planner dynamics through the single fused Pallas kernel
     # (ops.pallas_nl; TPU only, fourier ILT only — see scripts/bench_pallas.py
     # for the measured speedup); training still uses the XLA apply

@@ -88,6 +88,7 @@ def collect_expert_data(
         u_max=spec.action_high,
         encode_obs_time=config.encode_obs_time,
         dt=config.dt,
+        scan_unroll=config.mppi_scan_unroll,
     )
     dtype = jnp.result_type(float)
     mppi_params = make_mppi_params(default_noise_sigma(spec.m, config.mppi_sigma, dtype=dtype))

@@ -58,6 +58,10 @@ class MPPIConfig:
     rollout_samples: int = 1  # M
     rollout_var_cost: float = 0.0
     rollout_var_discount: float = 0.95
+    # lax.scan unroll factor for the horizon rollout: >1 lets XLA
+    # co-schedule consecutive dynamics steps (more fusion freedom, bigger
+    # program). Semantics-neutral; measured verdict in PERF.md.
+    scan_unroll: int = 1
     # pass the horizon step index to the dynamics as a third argument
     # (reference step_dependent_dynamics, :82,:187-191)
     step_dependent_dynamics: bool = False
@@ -307,7 +311,8 @@ def mppi_command_core(
 
         xs_scan = tidx if ctx_scan is None else (tidx, ctx_scan)
         (_, _, cost_var), (costs, states) = lax.scan(
-            rollout_step, (state0, ages0, var0), xs_scan
+            rollout_step, (state0, ages0, var0), xs_scan,
+            unroll=cfg.scan_unroll,
         )
     else:
 
@@ -335,6 +340,7 @@ def mppi_command_core(
             rollout_step_carried,
             (dyn_carry0, state0, ages0, var0),
             tidx,
+            unroll=cfg.scan_unroll,
         )
     cost_total = jnp.sum(costs, axis=0)  # [K]
 

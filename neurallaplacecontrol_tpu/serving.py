@@ -123,6 +123,7 @@ def make_controller(
         u_max=spec.action_high,
         encode_obs_time=config.encode_obs_time and model_name != "latent_ode",
         dt=dt,
+        scan_unroll=config.mppi_scan_unroll,
     )
     dtype = jnp.result_type(float)
     mppi_params = make_mppi_params(

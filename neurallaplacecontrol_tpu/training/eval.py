@@ -80,6 +80,7 @@ def evaluate_policy(
         # when config.encode_obs_time is on (models.__init__).
         encode_obs_time=config.encode_obs_time and model_name != "latent_ode",
         dt=dt,
+        scan_unroll=config.mppi_scan_unroll,
     )
     dtype = jnp.result_type(float)  # f64 under jax_enable_x64, else f32
     mppi_params = make_mppi_params(default_noise_sigma(spec.m, config.mppi_sigma, dtype=dtype))

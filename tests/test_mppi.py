@@ -249,3 +249,24 @@ def test_evaluate_policy_accepts_generator_seeds():
         config=Config(dt=0.5),
     )
     assert len(res["total_rewards"]) == 2 and res["seeds"] == [0, 1]
+
+
+def test_scan_unroll_parity(key):
+    """scan_unroll is semantics-neutral: same ops per step, so the planned
+    action and aux costs match the rolled scan bit-for-bit (the episode-level
+    check rides scripts/bench_unroll.py, which asserts equal returns)."""
+    env, cfg, params, dyn, cost = _pendulum_planner(K=32, T=9, delay=1)
+    import dataclasses
+
+    U = mppi_reset(key, cfg, params)
+    obs = env.observe(jnp.asarray([0.4, -1.2]))
+    buf = jnp.full((4, 1), 0.3)
+    a1, U1, aux1 = mppi_command(cfg, params, dyn, cost, U, obs, buf, key)
+    for unroll in (2, 4):  # 4 does not divide T=9: remainder path covered
+        cfg_u = dataclasses.replace(cfg, scan_unroll=unroll)
+        a2, U2, aux2 = mppi_command(cfg_u, params, dyn, cost, U, obs, buf, key)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        np.testing.assert_array_equal(np.asarray(U1), np.asarray(U2))
+        np.testing.assert_array_equal(
+            np.asarray(aux1["cost_total"]), np.asarray(aux2["cost_total"])
+        )
