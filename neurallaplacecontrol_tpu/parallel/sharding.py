@@ -209,3 +209,96 @@ def make_k_sharded_mppi_command(
         return sharded(U, obs, action_buffer, time_buffer, noise, cost_args)
 
     return command
+
+
+def make_grid_sharded_episodes(
+    env,
+    dynamics_fn,
+    mppi_cfg,
+    mppi_params,
+    settings,
+    mesh: Mesh,
+    terminal_state_cost=None,
+    dynamics_carry_init=None,
+):
+    """Full control episodes sharded over a 2-D ``("seeds", "k")`` mesh:
+    independent seed-episodes spread over the "seeds" axis while EACH
+    episode's K rollout batch shards over the "k" axis.
+
+    This composes the two parallelism regimes evaluate_policy exposes
+    separately (``shard_seeds`` — XLA-partitioned vmap; ``shard_rollouts``
+    — K-sharded shard_map run sequentially per seed): on a pod slice the
+    evaluation grid and the big-K planner scale on orthogonal mesh axes,
+    the TPU-native replacement for the reference's 12-worker eval pool
+    (run_exp_multi.py:144-165) crossed with its K-batched planner
+    (planners/mppi_delay.py:232-313).
+
+    Design: ONE ``shard_map`` over both axes wraps the whole episode batch.
+    Each device owns S/n_s seeds x K/n_k rollouts; the planner's softmax
+    collectives (pmin/psum in mppi_command_core) reduce over "k" only, so
+    episode state stays private to a seed while every k-group's devices
+    hold identical replicas of it (the per-step env integration is
+    recomputed per k-shard — trivially cheap next to the K/n_k rollouts).
+    The [K, T, nu] noise tensor is drawn per (seed, step) from the
+    episode's own key stream and every k-shard slices its block, so the
+    planned actions match the single-chip episode exactly (same draw, same
+    order; only the cost-reduction rounding differs).
+
+    Returns a jitted ``episodes(keys [S, 2]) -> (totals [S], records)``
+    with outputs sharded over "seeds".
+    """
+    from ..planners.mppi_delay import _sample_noise, mppi_command_core
+    from ..training.rollout import (
+        build_goal_running_cost,
+        build_running_cost,
+        make_episode_fn,
+    )
+
+    assert set(mesh.axis_names) == {"seeds", "k"}, mesh.axis_names
+    n_k = mesh.shape["k"]
+    assert mppi_cfg.num_samples % n_k == 0, (
+        "k-axis size must divide K (num_samples)"
+    )
+    k_local = mppi_cfg.num_samples // n_k
+
+    cost_fn = (
+        build_goal_running_cost(env)
+        if settings.change_goal
+        else build_running_cost(env, state_constraint=settings.state_constraint)
+    )
+
+    def command(U, obs, action_buffer, key, time_buffer=None, cost_args=()):
+        noise = _sample_noise(key, mppi_cfg, mppi_params)  # global K draw
+        i_k = jax.lax.axis_index("k")
+        noise_local = jax.lax.dynamic_slice_in_dim(
+            noise, i_k * k_local, k_local, axis=0
+        )
+        U = jnp.roll(U, -1, axis=0).at[-1].set(mppi_params.u_init)
+        return mppi_command_core(
+            mppi_cfg, mppi_params, dynamics_fn, cost_fn,
+            U, obs, action_buffer, noise_local,
+            terminal_state_cost=terminal_state_cost,
+            dynamics_carry_init=dynamics_carry_init,
+            time_buffer=time_buffer,
+            cost_args=cost_args,
+            axis=("k",),
+        )
+
+    episode = make_episode_fn(
+        env, dynamics_fn, mppi_cfg, mppi_params, settings,
+        dynamics_carry_init=dynamics_carry_init, command_fn=command,
+        vary_axis="seeds",
+    )
+
+    def local_batch(keys_local):
+        return jax.vmap(episode)(keys_local)
+
+    from jax import shard_map
+
+    sharded = shard_map(
+        local_batch,
+        mesh=mesh,
+        in_specs=(P("seeds"),),
+        out_specs=(P("seeds"), P("seeds")),
+    )
+    return jax.jit(sharded)

@@ -45,6 +45,7 @@ def evaluate_policy(
     profile_trace_dir: Optional[str] = None,
     shard_seeds: bool = False,
     shard_rollouts: bool = False,
+    shard_grid: Optional[tuple] = None,
 ) -> dict:
     """Run one episode per seed; returns the reference's result dict fields
     plus per-seed returns.
@@ -56,6 +57,11 @@ def evaluate_policy(
     — the big-K regime of the reference's sweep (mppi_optim.yaml:12, K up
     to 262144). Episodes then run sequentially per seed (the rollout batch
     already owns every device). Mutually exclusive with shard_seeds.
+
+    ``shard_grid=(n_seeds_axis, n_k_axis)`` composes both on a 2-D mesh:
+    seed-episodes spread over one axis while each episode's K rollouts
+    shard over the other (parallel.sharding.make_grid_sharded_episodes).
+    Mutually exclusive with the other two flags.
     """
     assert model_name in EVAL_MODELS, model_name
     seeds = list(seeds)  # consumed more than once below
@@ -180,7 +186,33 @@ def evaluate_policy(
         )
 
     keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
-    if command_fn is not None:
+    if shard_grid is not None:
+        assert not (shard_seeds or shard_rollouts), (
+            "shard_grid is exclusive with shard_seeds/shard_rollouts"
+        )
+        assert model_name != "random", "random policy has no rollout batch"
+        assert window_encoder is None, (
+            "nl_planner_precompute is not supported on the 2-D grid mesh"
+        )
+        from jax.sharding import Mesh
+
+        from ..parallel import make_grid_sharded_episodes
+
+        n_s, n_k = shard_grid
+        assert len(seeds) % n_s == 0, (len(seeds), n_s)
+        devs = np.asarray(jax.devices()[: n_s * n_k]).reshape(n_s, n_k)
+        mesh = Mesh(devs, axis_names=("seeds", "k"))
+        episodes = make_grid_sharded_episodes(
+            env, dynamics, mppi_cfg, mppi_params, settings, mesh,
+            dynamics_carry_init=dynamics_carry_init,
+        )
+        compiled = episodes.lower(keys).compile()
+        t0 = time.perf_counter()
+        with profile_trace(profile_trace_dir):
+            totals, records = compiled(keys)
+            totals.block_until_ready()
+        elapsed = time.perf_counter() - t0
+    elif command_fn is not None:
         # K-sharded planner: the rollout batch spans every device, so seed
         # episodes run sequentially (each one saturates the mesh). A vmap
         # over the embedded shard_map would nest batching over manual

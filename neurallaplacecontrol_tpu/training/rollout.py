@@ -157,6 +157,7 @@ def make_episode_fn(
     dynamics_carry_init: Optional[Callable] = None,
     command_fn: Optional[Callable] = None,
     window_encoder: Optional[Callable] = None,
+    vary_axis=None,
 ):
     """Build the jittable episode function: key -> (total_reward, records).
 
@@ -168,6 +169,13 @@ def make_episode_fn(
     signature ``(U, obs, action_buffer, key, time_buffer=None,
     cost_args=()) -> (action, U_new, aux)`` with the running cost (and its
     extra ``cost_args``, used by change_goal) baked in at build time.
+
+    ``vary_axis`` promotes the episode carry to device-varying over the
+    named mesh axis — required when the episode itself runs INSIDE a
+    ``shard_map`` (parallel.sharding.make_grid_sharded_episodes shards
+    seed-episodes over a mesh axis): carries built from constants
+    (zero action buffer, initial ages) start replicated, but the scan
+    makes them varying, and ``lax.scan`` demands a consistent carry type.
     """
     spec = env.spec
     running_cost = build_running_cost(env, state_constraint=settings.state_constraint)
@@ -184,6 +192,12 @@ def make_episode_fn(
         # flip(arange(A)) * dt)
         ages0 = jnp.flip(jnp.arange(A, dtype=buffer0.dtype)) * spec.dt
         carry0 = (raw0, buffer0, ages0, U0, k_scan)
+        if vary_axis is not None:
+            from ..planners.mppi_delay import _pvary
+
+            carry0 = jax.tree_util.tree_map(
+                lambda x: _pvary(x, vary_axis), carry0
+            )
 
         def step(carry, it):
             raw, buffer, ages, U, key = carry

@@ -345,3 +345,70 @@ def test_multihost_helpers_single_process():
     assert sorted(sum(parts, [])) == list(range(7))
     mesh = global_mesh(("dp", "tp"), shape=(4, 2))
     assert mesh.devices.shape == (4, 2)
+
+
+def _grid_setup(mppi_kwargs=None, settings_kwargs=None, model="oracle"):
+    from neurallaplacecontrol_tpu.training.rollout import (
+        EpisodeSettings,
+        make_batched_episode_fn,
+    )
+
+    env = make_env("oderl-pendulum")
+    cfg = MPPIConfig(num_samples=32, horizon=6, nu=1, u_scale=2.0,
+                     u_min=-2.0, u_max=2.0, **(mppi_kwargs or {}))
+    params = make_mppi_params(default_noise_sigma(1, 1.0, dtype=jnp.float64))
+    dyn = build_oracle_dynamics(env, cfg.num_samples, 0.05, 1)
+    settings = EpisodeSettings(delay=1, n_steps=10, **(settings_kwargs or {}))
+    keys = jnp.stack([jax.random.PRNGKey(s) for s in range(4)])
+    ref = make_batched_episode_fn(env, dyn, cfg, params, settings)
+    return env, cfg, params, dyn, settings, keys, ref
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+def test_grid_sharded_episodes_match_unsharded(mesh_shape):
+    """2-D (seeds x k) mesh: per-seed returns and transition records match
+    the unsharded vmapped episode batch (same keys -> same noise draws)."""
+    from neurallaplacecontrol_tpu.parallel import make_grid_sharded_episodes
+
+    env, cfg, params, dyn, settings, keys, ref = _grid_setup()
+    tot_ref, rec_ref = ref(keys)
+    mesh = jax.sharding.Mesh(
+        np.asarray(jax.devices()).reshape(mesh_shape), axis_names=("seeds", "k")
+    )
+    grid = make_grid_sharded_episodes(env, dyn, cfg, params, settings, mesh)
+    tot_g, rec_g = grid(keys)
+    np.testing.assert_allclose(np.asarray(tot_ref), np.asarray(tot_g), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(rec_ref.sn), np.asarray(rec_g.sn), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(rec_ref.a0), np.asarray(rec_g.a0), rtol=1e-9)
+
+
+def test_grid_sharded_episodes_flags_parity():
+    """Planner feature flags (null action pinned to the globally-last
+    rollout, abs-noise cost, encode_obs_time ages) behave identically on
+    the 2-D mesh — they share mppi_command_core with the single chip."""
+    from neurallaplacecontrol_tpu.parallel import make_grid_sharded_episodes
+
+    env, cfg, params, dyn, settings, keys, ref = _grid_setup(
+        mppi_kwargs=dict(sample_null_action=True, noise_abs_cost=True,
+                         encode_obs_time=True),
+        settings_kwargs=dict(encode_obs_time=True),
+    )
+    tot_ref, rec_ref = ref(keys)
+    mesh = jax.sharding.Mesh(
+        np.asarray(jax.devices()).reshape(2, 4), axis_names=("seeds", "k")
+    )
+    grid = make_grid_sharded_episodes(env, dyn, cfg, params, settings, mesh)
+    tot_g, rec_g = grid(keys)
+    np.testing.assert_allclose(np.asarray(tot_ref), np.asarray(tot_g), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(rec_ref.a0), np.asarray(rec_g.a0), rtol=1e-9)
+
+
+def test_grid_sharded_eval_matches_unsharded():
+    """evaluate_policy(shard_grid=(2, 4)) end-to-end parity."""
+    from neurallaplacecontrol_tpu.training import evaluate_policy
+
+    cfg = Config(dt=0.5)  # 20-step episodes for CPU speed
+    kw = dict(seeds=range(4), config=cfg, roll_outs=16, time_steps=4)
+    a = evaluate_policy("oracle", "oderl-pendulum", 1, **kw)
+    b = evaluate_policy("oracle", "oderl-pendulum", 1, shard_grid=(2, 4), **kw)
+    np.testing.assert_allclose(a["total_rewards"], b["total_rewards"], rtol=1e-9)
