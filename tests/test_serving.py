@@ -146,3 +146,26 @@ def test_persistent_compile_cache_populates(tmp_path):
         jax.config.update("jax_compilation_cache_dir", prev_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_time)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", prev_size)
+
+
+def test_export_roundtrip_nl_flagship(key, tmp_path):
+    """The flagship NL controller (complex-valued ILT inside the step)
+    exports and replays bit-exactly — guards the serving path for the
+    model family users actually deploy (reference w_nl.py:117-145)."""
+    cfg = Config(dt=0.05, mppi_roll_outs=8, mppi_time_steps=4,
+                 nl_hidden_units=16, nl_s_recon_terms=9)
+    env = make_env("oderl-pendulum", dt=cfg.dt)
+    model = make_model("nl", "oderl-pendulum", env.spec.n_obs, env.spec.m,
+                       env.spec.action_high, cfg)
+    params = model.init(key)
+    ctrl = serving.make_controller(
+        "nl", "oderl-pendulum", 1, cfg, model_apply=model.apply, params=params
+    )
+    state = ctrl.reset(key)
+    obs = env.observe(jnp.asarray([jnp.pi, 1.0]))
+    path = str(tmp_path / "nl_controller.jaxexport")
+    serving.export_controller(ctrl, path=path)
+    restored = serving.load_controller_step(path)
+    a_live, _ = ctrl.step(state, obs)
+    a_rest, _ = restored(state, obs)
+    np.testing.assert_array_equal(np.asarray(a_live), np.asarray(a_rest))
