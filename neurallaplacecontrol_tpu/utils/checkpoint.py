@@ -14,13 +14,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _path_part(p) -> str:
+    # DictKey -> .key, SequenceKey -> .idx, GetAttrKey (namedtuples /
+    # dataclass pytrees) -> .name
+    for attr in ("key", "idx", "name"):
+        if hasattr(p, attr):
+            return str(getattr(p, attr))
+    return str(p)
+
+
 def _flatten(params) -> dict:
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    out = {}
-    for path, leaf in flat:
-        key = "/".join(str(p.key) if hasattr(p, "key") else str(p.idx) for p in path)
-        out[key] = np.asarray(leaf)
-    return out
+    return {
+        "/".join(_path_part(p) for p in path): np.asarray(leaf)
+        for path, leaf in flat
+    }
 
 
 def save_pytree(path, params) -> None:
@@ -35,7 +43,7 @@ def load_pytree(path, like):
     leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(like)
     new_leaves = []
     for p, leaf in leaves_with_path:
-        key = "/".join(str(q.key) if hasattr(q, "key") else str(q.idx) for q in p)
+        key = "/".join(_path_part(q) for q in p)
         arr = flat[key]
         new_leaves.append(jnp.asarray(arr, dtype=leaf.dtype))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)

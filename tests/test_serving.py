@@ -169,3 +169,28 @@ def test_export_roundtrip_nl_flagship(key, tmp_path):
     a_live, _ = ctrl.step(state, obs)
     a_rest, _ = restored(state, obs)
     np.testing.assert_array_equal(np.asarray(a_live), np.asarray(a_rest))
+
+
+def test_controller_state_checkpoint_roundtrip(key, tmp_path):
+    """A mid-episode ControllerState checkpoints through utils.checkpoint
+    (the carry IS the controller's whole runtime state, so save/restore =
+    migrate the controller to another host mid-episode)."""
+    from neurallaplacecontrol_tpu.utils.checkpoint import (
+        load_pytree,
+        save_pytree,
+    )
+
+    ctrl = _oracle_controller()
+    env = make_env("oderl-pendulum", dt=CFG.dt)
+    obs = env.observe(jnp.asarray([jnp.pi, 1.0]))
+    state = ctrl.reset(key)
+    _, state = ctrl.step(state, obs)
+
+    path = str(tmp_path / "controller_state.npz")
+    save_pytree(path, state)
+    restored = load_pytree(path, state)
+    assert isinstance(restored, serving.ControllerState)
+    # the restored controller continues identically
+    a1, _ = ctrl.step(state, obs)
+    a2, _ = ctrl.step(restored, obs)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
