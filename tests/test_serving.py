@@ -171,6 +171,73 @@ def test_export_roundtrip_nl_flagship(key, tmp_path):
     np.testing.assert_array_equal(np.asarray(a_live), np.asarray(a_rest))
 
 
+@pytest.mark.tpu
+def test_controller_tick_on_real_tpu(key):
+    """Deployment witness on the real chip: the serving Controller at the
+    full reference operating point (K=1000, T=40, trained flagship ckpt,
+    cartpole d1 — mppi_with_model.py:218-230 + config.py:52-55) plans
+    finite bounded actions, and one tick reproduces planners.mppi_command
+    run on the same chip with the controller's own key split (the CPU
+    parity test above, compiled for TPU)."""
+    import os
+
+    from neurallaplacecontrol_tpu.planners import (
+        default_noise_sigma,
+        make_mppi_params,
+    )
+    from neurallaplacecontrol_tpu.utils.checkpoint import load_pytree
+
+    assert jax.devices()[0].platform == "tpu"
+    cfg = Config()
+    env = make_env("oderl-cartpole", dt=cfg.dt)
+    model = make_model("nl", "oderl-cartpole", env.spec.n_obs, env.spec.m,
+                       env.spec.action_high, cfg)
+    ckpt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "saved_models",
+        "nl_oderl-cartpole_delay-1_ts-grid-exp_0_"
+        "train-with-expert-trajectories-True.npz",
+    )
+    params = load_pytree(ckpt, model.init(key))
+    ctrl = serving.make_controller(
+        "nl", "oderl-cartpole", 1, cfg, model_apply=model.apply, params=params
+    )
+    state = ctrl.reset(key)
+    obs = env.observe(jnp.asarray([0.0, 0.0, jnp.pi, 0.0]))
+    for _ in range(3):
+        action, state = ctrl.step(state, obs)
+        assert np.all(np.isfinite(np.asarray(action)))
+        assert float(jnp.max(jnp.abs(action))) <= env.spec.action_high + 1e-5
+
+    # tick == mppi_command with the controller's key split, on the chip
+    from neurallaplacecontrol_tpu.training.rollout import (
+        build_learned_dynamics,
+    )
+
+    _, k_noise = jax.random.split(state.key)
+    dynamics = build_learned_dynamics(
+        env, model.apply, params, cfg.mppi_roll_outs, cfg.dt,
+        action_buffer_size=cfg.action_buffer_size,
+    )
+    cost = build_running_cost(env)
+    mp = make_mppi_params(
+        default_noise_sigma(env.spec.m, cfg.mppi_sigma,
+                            dtype=jnp.result_type(float))
+    )
+    action, new_state = ctrl.step(state, obs)
+    ref_action, ref_U, _ = mppi_command(
+        ctrl.mppi_cfg, mp, dynamics, cost,
+        state.U, obs, state.action_buffer, k_noise,
+        time_buffer=state.ages if ctrl.mppi_cfg.encode_obs_time else None,
+    )
+    np.testing.assert_allclose(
+        np.asarray(action), np.asarray(ref_action), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state.U), np.asarray(ref_U), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_controller_state_checkpoint_roundtrip(key, tmp_path):
     """A mid-episode ControllerState checkpoints through utils.checkpoint
     (the carry IS the controller's whole runtime state, so save/restore =
