@@ -89,21 +89,27 @@ def main():
     params = model.init(jax.random.PRNGKey(0))
     # prefer the shipped trained checkpoint (saved_models/, the round-2
     # matrix flagship) — throughput is shape-determined either way, but the
-    # headline then measures the ACTUAL deployed model in the loop
+    # headline then measures the ACTUAL deployed model in the loop. A
+    # missing/corrupt checkpoint must not kill the bench, but it must not
+    # pass silently either: the emitted JSON records which params ran.
+    import os
+    import sys
+
+    from neurallaplacecontrol_tpu.utils.checkpoint import (
+        load_pytree,
+        model_checkpoint_name,
+    )
+
+    ckpt = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "saved_models",
+        model_checkpoint_name("nl", env_name, 1, "exp", 0, True),
+    )
+    trained = False
     try:
-        import os
-
-        from neurallaplacecontrol_tpu.utils.checkpoint import load_pytree
-
-        ckpt = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "saved_models",
-            "nl_oderl-cartpole_delay-1_ts-grid-exp_0_"
-            "train-with-expert-trajectories-True.npz",
-        )
-        if os.path.exists(ckpt):
-            params = load_pytree(ckpt, params)
-    except Exception:  # noqa: BLE001 — a missing/corrupt ckpt must not kill the bench
-        pass
+        params = load_pytree(ckpt, params)
+        trained = True
+    except Exception as e:  # noqa: BLE001 — fall back to untrained params
+        print(f"bench.py: using UNTRAINED params ({ckpt}: {e})", file=sys.stderr)
 
     # 8 episodes vmapped — the evaluation protocol's real operating point
     # (the experiment grid runs 20-seed batches); 2 episodes leave the chip
@@ -133,6 +139,7 @@ def main():
                 "nl_forward_flops_source": flops_src,
                 "nl_forwards_per_sec": round(forwards_per_sec),
                 "mfu_vs_v5e_bf16_peak": round(mfu, 4),
+                "trained_checkpoint": trained,
             }
         )
     )

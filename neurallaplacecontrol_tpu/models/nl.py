@@ -178,7 +178,9 @@ def make_nl_model(
         (artifacts/bench_precompute_r3.json)."""
 
         def encode(windows):  # [K, T, A, m(+age)] -> [K, T, 2]
-            return _encode_actions(params, windows, jnp.float32)
+            # out dtype follows the input like apply() does (obs.dtype), so
+            # the apply == apply_encoded identity holds under jax_enable_x64
+            return _encode_actions(params, windows, windows.dtype)
 
         return encode
 

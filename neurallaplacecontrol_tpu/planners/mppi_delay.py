@@ -110,6 +110,15 @@ def _sample_noise(key, cfg: MPPIConfig, params: MPPIParams) -> jnp.ndarray:
     return z @ params.noise_chol.T
 
 
+def _stack_windows(full: jnp.ndarray, T: int, A: int) -> jnp.ndarray:
+    """All T sliding action windows of ``full`` [K, A-1+T, nu] at once:
+    windows[k, t, a] = full[k, t + a] -> [K, T, A, nu]. Assembled as A
+    contiguous shifted slices, NOT an advanced-index gather — the gather
+    lowers to a per-row copy under vmap on TPU (measured 3x slowdown in
+    the planner's window build, artifacts/bench_precompute_r3.json)."""
+    return jnp.stack([full[:, a : a + T, :] for a in range(A)], axis=2)
+
+
 def _pvary(x, axis):
     """Promote x to device-varying over ``axis`` names it isn't varying on
     yet (``lax.pcast`` itself rejects already-varying inputs)."""
@@ -246,16 +255,11 @@ def mppi_command_core(
             "window_encoder is for state-independent window encodings; "
             "carried dynamics encode history themselves"
         )
-        # build every horizon window at once: windows_all[k, t, a] =
-        # full[k, t + a], assembled as A contiguous shifted slices (an
-        # advanced-index gather here lowers to a per-row gather under the
-        # episode vmap on TPU — measured 3x episode slowdown). Costs A x
+        # build every horizon window at once (_stack_windows). Costs A x
         # the HBM footprint of the action sequences plus the encoder's
         # activations at K*T rows — at the K~10^5 sweep regime prefer
         # window_encoder=None.
-        windows_all = jnp.stack(
-            [full[:, a : a + T, :] for a in range(A)], axis=2
-        )  # [K, T, A, nu]
+        windows_all = _stack_windows(full, T, A)  # [K, T, A, nu]
         if cfg.encode_obs_time:
             # the ages the scan would see at step t: ages0 advanced t+1
             # times (rollout_step advances BEFORE augmenting); T is static
@@ -442,12 +446,7 @@ def mppi_rollout_states(
     scaled = jnp.broadcast_to(U[None] * cfg.u_scale, (num_rollouts, T, cfg.nu))
     hist = jnp.broadcast_to(action_buffer[1:][None], (num_rollouts, A - 1, cfg.nu))
     full = jnp.concatenate([hist, scaled], axis=1)
-    # A contiguous shifted slices, not an advanced-index gather — the
-    # gather lowers to a per-row copy under vmap on TPU (measured 3x
-    # slowdown in the planner's window build; bench_precompute_r3)
-    windows = jnp.swapaxes(
-        jnp.stack([full[:, a : a + T, :] for a in range(A)], axis=2), 0, 1
-    )
+    windows = jnp.swapaxes(_stack_windows(full, T, A), 0, 1)  # [T, K, A, nu]
     state0 = jnp.broadcast_to(obs[None], (num_rollouts,) + obs.shape)
 
     def step(state, window):

@@ -105,7 +105,9 @@ def make_controller(
 
     ``model_name`` is "oracle" or any learned family with
     ``model_apply``/``params`` supplied (training.train.train_model returns
-    them; utils.checkpoint.load_pytree restores them).
+    them; utils.checkpoint.load_pytree restores them). For ``latent_ode``
+    pass the DynamicsModel itself as ``model_apply`` — the controller then
+    plans with the same history-carried dynamics evaluate_policy uses.
     """
     roll_outs = roll_outs or config.mppi_roll_outs
     time_steps = time_steps or config.mppi_time_steps
@@ -130,11 +132,28 @@ def make_controller(
         default_noise_sigma(spec.m, config.mppi_sigma, dtype=dtype)
     )
 
+    dynamics_carry_init = None
     if model_name == "oracle":
         dynamics = build_oracle_dynamics(env, roll_outs, dt, action_delay)
+    elif model_name == "latent_ode" and hasattr(model_apply, "predict_diff"):
+        # same history-carried planning as training.eval.evaluate_policy:
+        # pass the DynamicsModel train_model returns (not .apply), so the
+        # deployed controller plans with the trajectory-aware encoder the
+        # published evaluation used
+        from .models.latent_ode import make_carried_dynamics
+
+        dynamics_carry_init, dynamics = make_carried_dynamics(
+            model_apply, params, dt, spec.n_obs, spec.m,
+            action_buffer_size=config.action_buffer_size,
+        )
     else:
         assert model_apply is not None and params is not None, (
             "learned models need model_apply/params"
+        )
+        assert callable(model_apply), (
+            f"model_apply for {model_name!r} must be callable; for "
+            "latent_ode pass the DynamicsModel itself (history-carried "
+            "planning), matching evaluate_policy's contract"
         )
         dynamics = build_learned_dynamics(
             env, model_apply, params, roll_outs, dt,
@@ -161,6 +180,7 @@ def make_controller(
         action, U, _ = mppi_command(
             mppi_cfg, mppi_params, dynamics, cost_fn,
             state.U, obs, state.action_buffer, k_noise,
+            dynamics_carry_init=dynamics_carry_init,
             time_buffer=state.ages if encode else None,
         )
         buffer = jnp.roll(state.action_buffer, -1, axis=0).at[-1].set(action)

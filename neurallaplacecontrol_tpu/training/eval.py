@@ -200,6 +200,10 @@ def evaluate_policy(
 
         n_s, n_k = shard_grid
         assert len(seeds) % n_s == 0, (len(seeds), n_s)
+        assert len(jax.devices()) >= n_s * n_k, (
+            f"shard_grid={shard_grid} needs {n_s * n_k} devices, "
+            f"only {len(jax.devices())} available"
+        )
         devs = np.asarray(jax.devices()[: n_s * n_k]).reshape(n_s, n_k)
         mesh = Mesh(devs, axis_names=("seeds", "k"))
         episodes = make_grid_sharded_episodes(

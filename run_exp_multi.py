@@ -41,7 +41,7 @@ TRAIN_SECONDS_PER_MODEL = 1350 * 6  # reference run_exp_multi.py:214
 
 def ensemble_gate_check(
     model_name, env_name, delay, model_apply, params, config,
-    *, seeds=5, margin_stds=1.0, evaluate=None,
+    *, seeds=5, margin_stds=1.0, evaluate=None, random_result=None,
 ):
     """Control-eval a freshly ensemble-trained cell against the random policy.
 
@@ -52,6 +52,12 @@ def ensemble_gate_check(
     plans worse than random (training/ensemble.py CAVEAT,
     artifacts/run_nl_d3_diag.log). Kept as a free function so tests can
     plant a bad draw through ``evaluate`` and assert the retrain fires.
+
+    ``random_result`` supplies a precomputed random-policy eval dict — the
+    baseline depends only on (env, delay, seeds, config), so the driver
+    caches it per cell instead of re-running the model-independent episode
+    batch (a fresh shape costs the 60-120 s remote compile on this TPU)
+    once per gated family.
     """
     evaluate = evaluate or evaluate_policy
     eval_seeds = list(range(seeds))
@@ -59,7 +65,9 @@ def ensemble_gate_check(
         model_name, env_name, delay, seeds=eval_seeds, config=config,
         model_apply=model_apply, params=params,
     )
-    r_r = evaluate("random", env_name, delay, seeds=eval_seeds, config=config)
+    r_r = random_result
+    if r_r is None:
+        r_r = evaluate("random", env_name, delay, seeds=eval_seeds, config=config)
     threshold = r_r["total_reward"] + margin_stds * r_r.get("total_reward_std", 0.0)
     return r_m["total_reward"] >= threshold, r_m, r_r
 
@@ -84,8 +92,13 @@ def main(argv=None):
         "training with a multi-seed control eval against the random policy; a "
         "gated model that fails to beat random by the margin (the NL-d3 "
         "failure mode of the vmapped-trajectory draw, see training/ensemble.py "
-        "CAVEAT) is retrained individually. Default gates only the flagship — "
-        "weak baselines legitimately score near/below random. 'none' disables.",
+        "CAVEAT) is retrained individually. Default gates only the flagship, "
+        "which is ALSO excluded from ensemble training by default "
+        "(--ensemble_exclude nl, the known-good path) — so with both defaults "
+        "the gate is intentionally inert and only engages if you ensemble-"
+        "train NL by clearing the exclude. Weak baselines legitimately score "
+        "near/below random, so gating them by default would trigger futile "
+        "retrains. 'none' disables.",
     )
     parser.add_argument(
         "--ensemble_gate_seeds", type=int, default=5,
@@ -132,6 +145,15 @@ def main(argv=None):
     ens_models = [m for m in models if m not in excluded] if use_ensemble else []
     seq_models = [m for m in models if m not in ens_models]
     if (config.retrain or config.force_retrain) and use_ensemble:
+        gated_families = set(ns.ensemble_gate.lower().split(","))
+        if not gated_families.intersection(ens_models):
+            logger.warning(
+                "--ensemble_gate %s gates none of the ensemble-trained "
+                "families %s (the gated families train per-delay via "
+                "--ensemble_exclude) — no bad-draw protection this run",
+                ns.ensemble_gate, ens_models,
+            )
+        random_cache = {}  # (env, delay) -> random-policy eval (model-free)
         for env_name in envs:
             for model_name in ens_models:
                 if model_name in ("oracle", "random"):
@@ -152,8 +174,7 @@ def main(argv=None):
                             env_name, model_name, delay,
                             res["best_val_loss"], time.time() - t0,
                         )
-                    gated = ns.ensemble_gate.lower().split(",")
-                    if model_name in gated:
+                    if model_name in gated_families:
                         for delay in list(out):
                             model, params = trained[(env_name, delay, model_name)]
                             apply = model if model_name == "latent_ode" else model.apply
@@ -161,7 +182,9 @@ def main(argv=None):
                                 model_name, env_name, delay, apply, params,
                                 config, seeds=ns.ensemble_gate_seeds,
                                 margin_stds=ns.ensemble_gate_margin,
+                                random_result=random_cache.get((env_name, delay)),
                             )
+                            random_cache[(env_name, delay)] = r_r
                             if ok:
                                 continue
                             logger.warning(

@@ -30,7 +30,10 @@ def main():
     from neurallaplacecontrol_tpu.envs import make_env
     from neurallaplacecontrol_tpu.models import make_model
     from neurallaplacecontrol_tpu.training import evaluate_policy
-    from neurallaplacecontrol_tpu.utils.checkpoint import load_pytree
+    from neurallaplacecontrol_tpu.utils.checkpoint import (
+        load_pytree,
+        model_checkpoint_name,
+    )
 
     env_name = "oderl-cartpole"
     seeds = list(range(8))
@@ -44,8 +47,7 @@ def main():
         if params is None:
             params = load_pytree(
                 str(REPO / "saved_models" /
-                    "nl_oderl-cartpole_delay-1_ts-grid-exp_0_"
-                    "train-with-expert-trajectories-True.npz"),
+                    model_checkpoint_name("nl", "oderl-cartpole", 1, "exp", 0, True)),
                 model.init(jax.random.PRNGKey(0)))
         res = evaluate_policy(
             "nl", env_name, 1, seeds=seeds, config=config,

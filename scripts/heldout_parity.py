@@ -52,7 +52,10 @@ def main():
     from neurallaplacecontrol_tpu.config import Config
     from neurallaplacecontrol_tpu.envs import make_env
     from neurallaplacecontrol_tpu.models import make_model
-    from neurallaplacecontrol_tpu.utils.checkpoint import load_pytree
+    from neurallaplacecontrol_tpu.utils.checkpoint import (
+        load_pytree,
+        model_checkpoint_name,
+    )
 
     d = np.load(BUF)
     s0, a0, sn, ts = d["s0"], d["a0"], d["sn"], d["ts"]
@@ -69,8 +72,7 @@ def main():
     for model_name in args.models.split(","):
         ckpt = (
             REPO / args.ckpt_dir /
-            f"{model_name}_oderl-cartpole_delay-1_ts-grid-exp_0_"
-            "train-with-expert-trajectories-True.npz"
+            model_checkpoint_name(model_name, "oderl-cartpole", 1, "exp", 0, True)
         )
         if not ckpt.is_file():
             log(f"# {model_name}: no checkpoint at {ckpt} — skipped")

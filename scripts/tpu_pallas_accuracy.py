@@ -51,7 +51,10 @@ sys.path.insert(0, "/root/repo")
 from neurallaplacecontrol_tpu.config import Config  # noqa: E402
 from neurallaplacecontrol_tpu.envs import make_env  # noqa: E402
 from neurallaplacecontrol_tpu.models import make_model  # noqa: E402
-from neurallaplacecontrol_tpu.utils.checkpoint import load_pytree  # noqa: E402
+from neurallaplacecontrol_tpu.utils.checkpoint import (  # noqa: E402
+    load_pytree,
+    model_checkpoint_name,
+)
 
 config = Config()
 spec = make_env("oderl-cartpole").spec
@@ -65,8 +68,8 @@ def build(dtype):
 model32 = build(jnp.float32)
 params32 = model32.init(jax.random.PRNGKey(0))
 trained32 = load_pytree(
-    "/root/repo/saved_models/nl_oderl-cartpole_delay-1_ts-grid-exp_0_"
-    "train-with-expert-trajectories-True.npz", params32)
+    "/root/repo/saved_models/"
+    + model_checkpoint_name("nl", "oderl-cartpole", 1, "exp", 0, True), params32)
 t = config.dt
 key = jax.random.PRNGKey(5)
 

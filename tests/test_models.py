@@ -147,13 +147,15 @@ def test_nl_bf16_compute_matches_f32():
     assert jax.tree.all(jax.tree.map(
         lambda a, b: a.shape == b.shape and a.dtype == b.dtype,
         m32.init(jax.random.PRNGKey(0)), mbf.init(jax.random.PRNGKey(0))))
-    from neurallaplacecontrol_tpu.utils.checkpoint import load_pytree
+    from neurallaplacecontrol_tpu.utils.checkpoint import (
+        load_pytree,
+        model_checkpoint_name,
+    )
 
     ckpt = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "saved_models",
-        "nl_oderl-cartpole_delay-1_ts-grid-exp_0_"
-        "train-with-expert-trajectories-True.npz",
+        model_checkpoint_name("nl", "oderl-cartpole", 1, "exp", 0, True),
     )
     params = load_pytree(ckpt, m32.init(jax.random.PRNGKey(0)))
     key = jax.random.PRNGKey(3)

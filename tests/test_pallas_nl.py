@@ -106,7 +106,10 @@ def test_fused_forward_compiled_accuracy_real_tpu():
     import os
 
     from neurallaplacecontrol_tpu.envs import make_env
-    from neurallaplacecontrol_tpu.utils.checkpoint import load_pytree
+    from neurallaplacecontrol_tpu.utils.checkpoint import (
+        load_pytree,
+        model_checkpoint_name,
+    )
 
     assert jax.devices()[0].platform == "tpu"
     config = Config()
@@ -121,8 +124,7 @@ def test_fused_forward_compiled_accuracy_real_tpu():
     ckpt = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "saved_models",
-        "nl_oderl-cartpole_delay-1_ts-grid-exp_0_"
-        "train-with-expert-trajectories-True.npz",
+        model_checkpoint_name("nl", "oderl-cartpole", 1, "exp", 0, True),
     )
     params_trained = load_pytree(ckpt, params_rand)
     xla32 = jax.jit(model32.apply)

@@ -31,13 +31,15 @@ from neurallaplacecontrol_tpu.training.rollout import (
     build_learned_dynamics,
     build_learned_dynamics_encoded,
 )
-from neurallaplacecontrol_tpu.utils.checkpoint import load_pytree
+from neurallaplacecontrol_tpu.utils.checkpoint import (
+    load_pytree,
+    model_checkpoint_name,
+)
 
 _CKPT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "saved_models",
-    "nl_oderl-cartpole_delay-1_ts-grid-exp_0_"
-    "train-with-expert-trajectories-True.npz",
+    model_checkpoint_name("nl", "oderl-cartpole", 1, "exp", 0, True),
 )
 
 
@@ -83,6 +85,34 @@ def test_encoded_apply_matches_apply():
         np.testing.assert_allclose(
             np.asarray(hoisted), np.asarray(direct), rtol=2e-5, atol=2e-6
         )
+
+
+def test_encoded_apply_matches_apply_f64():
+    """The identity must also hold at f64 (jax_enable_x64 is the suite's
+    parity regime): the encoder hook follows the input dtype like apply()
+    does instead of hardcoding f32 — a hardcoded-f32 latent would cap the
+    agreement at f32 epsilon and break any tight f64 parity assertion."""
+    env, model, params = _trained_nl()
+    params64 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float64), params)
+    key = jax.random.PRNGKey(11)
+    K, T, A = 7, 5, 4
+    windows = jax.random.uniform(
+        key, (K, T, A, env.spec.m), jnp.float64, minval=-3, maxval=3
+    )
+    obs = jax.random.normal(
+        jax.random.fold_in(key, 1), (K, env.spec.n_obs), jnp.float64
+    )
+    ts = jnp.full((K, 1), 0.05, jnp.float64)
+
+    encode = model.make_planner_window_encoder(params64)
+    latents = jax.jit(encode)(windows)
+    assert latents.dtype == jnp.float64  # follows the window dtype
+
+    direct = jax.jit(model.apply)(params64, obs, windows[:, 2], ts)
+    hoisted = jax.jit(model.apply_encoded)(params64, obs, latents[:, 2], ts)
+    np.testing.assert_allclose(
+        np.asarray(hoisted), np.asarray(direct), rtol=1e-12, atol=1e-13
+    )
 
 
 @pytest.mark.parametrize(

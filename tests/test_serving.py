@@ -171,6 +171,64 @@ def test_export_roundtrip_nl_flagship(key, tmp_path):
     np.testing.assert_array_equal(np.asarray(a_live), np.asarray(a_rest))
 
 
+def test_controller_latent_ode_history_carried(key):
+    """latent_ode deploys with the SAME history-carried planner dynamics
+    evaluate_policy uses (training/eval.py predict_diff detection): pass the
+    DynamicsModel itself and the tick must match mppi_command run by hand
+    with models.latent_ode.make_carried_dynamics. Guards the serving/eval
+    semantic-parity contract for the one family whose dynamics carry state
+    (reference w_latent_ode.py:160-172 batch_obs_buffer)."""
+    from neurallaplacecontrol_tpu.models.latent_ode import make_carried_dynamics
+    from neurallaplacecontrol_tpu.planners import (
+        default_noise_sigma,
+        make_mppi_params,
+    )
+
+    cfg = Config(dt=0.05, mppi_roll_outs=8, mppi_time_steps=4)
+    env = make_env("oderl-pendulum", dt=cfg.dt)
+    model = make_model("latent_ode", "oderl-pendulum", env.spec.n_obs,
+                       env.spec.m, env.spec.action_high, cfg)
+    params = model.init(key)
+    ctrl = serving.make_controller(
+        "latent_ode", "oderl-pendulum", 1, cfg, model_apply=model, params=params
+    )
+    state = ctrl.reset(key)
+    obs = env.observe(jnp.asarray([jnp.pi, 1.0]))
+    action, new_state = ctrl.step(state, obs)
+    assert np.all(np.isfinite(np.asarray(action)))
+
+    _, k_noise = jax.random.split(state.key)
+    carry_init, dynamics = make_carried_dynamics(
+        model, params, cfg.dt, env.spec.n_obs, env.spec.m,
+        action_buffer_size=cfg.action_buffer_size,
+    )
+    mppi_params = make_mppi_params(
+        default_noise_sigma(1, cfg.mppi_sigma, dtype=jnp.result_type(float))
+    )
+    ref_action, ref_U, _ = mppi_command(
+        ctrl.mppi_cfg, mppi_params, dynamics, build_running_cost(env),
+        state.U, obs, state.action_buffer, k_noise,
+        dynamics_carry_init=carry_init,
+    )
+    np.testing.assert_allclose(np.asarray(action), np.asarray(ref_action), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_state.U), np.asarray(ref_U), rtol=1e-6)
+
+
+def test_controller_rejects_non_callable_apply():
+    """A DynamicsModel passed where a callable apply belongs fails loudly at
+    build time (not with an opaque TypeError at the first traced step)."""
+    cfg = Config(dt=0.05, mppi_roll_outs=8, mppi_time_steps=4,
+                 nl_hidden_units=16, nl_s_recon_terms=9)
+    env = make_env("oderl-pendulum", dt=cfg.dt)
+    model = make_model("nl", "oderl-pendulum", env.spec.n_obs, env.spec.m,
+                       env.spec.action_high, cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(AssertionError, match="callable"):
+        serving.make_controller(
+            "nl", "oderl-pendulum", 1, cfg, model_apply=model, params=params
+        )
+
+
 @pytest.mark.tpu
 def test_controller_tick_on_real_tpu(key):
     """Deployment witness on the real chip: the serving Controller at the
@@ -185,7 +243,10 @@ def test_controller_tick_on_real_tpu(key):
         default_noise_sigma,
         make_mppi_params,
     )
-    from neurallaplacecontrol_tpu.utils.checkpoint import load_pytree
+    from neurallaplacecontrol_tpu.utils.checkpoint import (
+        load_pytree,
+        model_checkpoint_name,
+    )
 
     assert jax.devices()[0].platform == "tpu"
     cfg = Config()
@@ -195,8 +256,7 @@ def test_controller_tick_on_real_tpu(key):
     ckpt = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "saved_models",
-        "nl_oderl-cartpole_delay-1_ts-grid-exp_0_"
-        "train-with-expert-trajectories-True.npz",
+        model_checkpoint_name("nl", "oderl-cartpole", 1, "exp", 0, True),
     )
     params = load_pytree(ckpt, model.init(key))
     ctrl = serving.make_controller(
