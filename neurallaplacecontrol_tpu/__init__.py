@@ -28,7 +28,7 @@ from .models import make_model  # noqa: F401,E402
 from .training import evaluate_policy, train_model  # noqa: F401,E402
 
 # heavier sub-stacks import lazily on attribute access
-_LAZY = {"oderl", "results", "serving"}
+_LAZY = {"oderl", "results", "serving", "tune"}
 
 
 def __getattr__(name):
