@@ -214,6 +214,30 @@ def test_controller_latent_ode_history_carried(key):
     np.testing.assert_allclose(np.asarray(new_state.U), np.asarray(ref_U), rtol=1e-6)
 
 
+def test_export_roundtrip_latent_ode_carried(key, tmp_path):
+    """The history-carried latent_ode controller — an adaptive dopri5
+    decode (lax.while_loop) inside every rollout step — serializes through
+    jax.export and replays bit-exactly, so the one stateful-dynamics family
+    deploys through the same portable-artifact path as the rest."""
+    cfg = Config(dt=0.05, mppi_roll_outs=8, mppi_time_steps=4)
+    env = make_env("oderl-pendulum", dt=cfg.dt)
+    model = make_model("latent_ode", "oderl-pendulum", env.spec.n_obs,
+                       env.spec.m, env.spec.action_high, cfg)
+    params = model.init(key)
+    ctrl = serving.make_controller(
+        "latent_ode", "oderl-pendulum", 1, cfg, model_apply=model, params=params
+    )
+    path = str(tmp_path / "lode_controller.jaxexport")
+    serving.export_controller(ctrl, path=path)
+    restored = serving.load_controller_step(path)
+    state = ctrl.reset(key)
+    obs = env.observe(jnp.asarray([jnp.pi, 1.0]))
+    a_live, s_live = ctrl.step(state, obs)
+    a_rest, s_rest = restored(state, obs)
+    np.testing.assert_array_equal(np.asarray(a_live), np.asarray(a_rest))
+    np.testing.assert_array_equal(np.asarray(s_live.U), np.asarray(s_rest.U))
+
+
 def test_controller_rejects_non_callable_apply():
     """A DynamicsModel passed where a callable apply belongs fails loudly at
     build time (not with an opaque TypeError at the first traced step)."""
