@@ -35,6 +35,12 @@ def main(argv=None):
     p.add_argument("--chained", type=int, default=100,
                    help="ticks to chain in one on-device scan (amortized "
                         "device tick time, no host round-trip); 0 disables")
+    p.add_argument("--ticklog", default=None,
+                   help="record per-tick telemetry [t_wall_s, tick_ms, "
+                        "action..., obs...] into this native mmap ring log "
+                        "(runtime/ticklog.cc; tail live with "
+                        "runtime.ticklog.TickLog.open)")
+    p.add_argument("--ticklog_capacity", type=int, default=65536)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke tests)")
     args = p.parse_args(argv)
@@ -105,17 +111,34 @@ def main(argv=None):
     jax.block_until_ready(action)
     compile_s = time.perf_counter() - t0
 
+    tlog = None
+    if args.ticklog:
+        from neurallaplacecontrol_tpu.runtime.ticklog import TickLog
+
+        width = 2 + spec.m + spec.n_obs  # [t_wall_s, tick_ms, action, obs]
+        tlog = TickLog.create(args.ticklog, args.ticklog_capacity, width)
+        print(f"tick log: {args.ticklog} (width {width})", file=sys.stderr)
+
     lat = []
     for _ in range(args.ticks):
         obs = env.observe(raw)
         t0 = time.perf_counter()
         action, state = ctrl.step(state, obs)
         action = jax.block_until_ready(action)
-        lat.append(time.perf_counter() - t0)
+        tick_s = time.perf_counter() - t0
+        lat.append(tick_s)
+        if tlog is not None:
+            tlog.append(np.concatenate([
+                [time.time(), tick_s * 1e3], np.asarray(action), np.asarray(obs)
+            ]))
         executed = state.action_buffer[-(args.delay + 1)]
         raw = raw + spec.dt * env.rhs(raw, executed)
 
     lat_ms = np.asarray(lat) * 1e3
+    if tlog is not None:
+        tlog.sync()
+        print(f"tick log holds {tlog.count} records", file=sys.stderr)
+        tlog.close()
 
     # amortized device tick: chain N controller steps in one lax.scan launch.
     # The gap between this and the host-sync p50 is the per-call dispatch /
