@@ -9,35 +9,20 @@ from __future__ import annotations
 
 import ctypes
 import logging
-import os
-import subprocess
 from pathlib import Path
 from typing import Optional
 
 import numpy as np
 
+from ._native import REPO_ROOT, build_or_load, fptr as _fptr
+
 logger = logging.getLogger(__name__)
 
-_REPO_ROOT = Path(__file__).resolve().parents[2]
-_SRC = _REPO_ROOT / "runtime" / "replaybuf.cc"
-_LIB = _REPO_ROOT / "runtime" / "libreplaybuf.so"
+_SRC = REPO_ROOT / "runtime" / "replaybuf.cc"
+_LIB = REPO_ROOT / "runtime" / "libreplaybuf.so"
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
-
-
-def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-             str(_SRC), "-o", str(_LIB)],
-            check=True,
-            capture_output=True,
-        )
-        return True
-    except (OSError, subprocess.CalledProcessError) as e:
-        logger.info("native replaybuf unavailable (%s); using npz fallback", e)
-        return False
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -46,16 +31,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    # a shipped .so without the .cc source is usable as-is; only rebuild
-    # when the source exists and is newer
-    stale = _SRC.exists() and (
-        not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime
-    )
-    if stale and not _build():
+    lib = build_or_load(_SRC, _LIB, extra_flags=("-pthread",))
+    if lib is None:
         return None
-    if not _LIB.exists():
-        return None
-    lib = ctypes.CDLL(str(_LIB))
     lib.rb_write.restype = ctypes.c_int
     lib.rb_write.argtypes = [
         ctypes.c_char_p, ctypes.c_uint64,
@@ -80,10 +58,6 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.rb_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
-
-
-def _fptr(a: np.ndarray):
-    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
 class ReplayBuffer:

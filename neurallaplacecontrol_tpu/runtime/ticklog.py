@@ -9,7 +9,8 @@ OS once written). A monitoring process can ``TickLog.open`` the same file
 and tail it live.
 
 The record schema is caller-defined (``width`` floats); the conventional
-serving layout is ``[t_wall_s, tick_ms, action..., obs...]`` — see
+serving layout is ``[t_rel_s, tick_ms, action..., obs...]`` (relative seconds — an
+absolute unix epoch would alias to a 128 s grid in float32) — see
 scripts/serve_demo.py. Built on demand like the replay-buffer runtime
 (runtime/__init__.py) and degrades gracefully when no toolchain exists.
 """
@@ -18,34 +19,20 @@ from __future__ import annotations
 
 import ctypes
 import logging
-import subprocess
 from pathlib import Path
 from typing import Optional
 
 import numpy as np
 
+from ._native import REPO_ROOT, build_or_load, fptr as _fptr
+
 logger = logging.getLogger(__name__)
 
-_REPO_ROOT = Path(__file__).resolve().parents[2]
-_SRC = _REPO_ROOT / "runtime" / "ticklog.cc"
-_LIB = _REPO_ROOT / "runtime" / "libticklog.so"
+_SRC = REPO_ROOT / "runtime" / "ticklog.cc"
+_LIB = REPO_ROOT / "runtime" / "libticklog.so"
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
-
-
-def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             str(_SRC), "-o", str(_LIB)],
-            check=True,
-            capture_output=True,
-        )
-        return True
-    except (OSError, subprocess.CalledProcessError) as e:
-        logger.info("native ticklog unavailable (%s)", e)
-        return False
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -54,14 +41,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    stale = _SRC.exists() and (
-        not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime
-    )
-    if stale and not _build():
+    lib = build_or_load(_SRC, _LIB)
+    if lib is None:
         return None
-    if not _LIB.exists():
-        return None
-    lib = ctypes.CDLL(str(_LIB))
     lib.tl_create.restype = ctypes.c_void_p
     lib.tl_create.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64]
     lib.tl_open.restype = ctypes.c_void_p
@@ -87,10 +69,6 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.tl_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
-
-
-def _fptr(a: np.ndarray):
-    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
 class TickLog:

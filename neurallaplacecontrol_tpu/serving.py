@@ -140,6 +140,7 @@ def make_controller(
         # pass the DynamicsModel train_model returns (not .apply), so the
         # deployed controller plans with the trajectory-aware encoder the
         # published evaluation used
+        assert params is not None, "learned models need model_apply/params"
         from .models.latent_ode import make_carried_dynamics
 
         dynamics_carry_init, dynamics = make_carried_dynamics(

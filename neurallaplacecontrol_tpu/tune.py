@@ -175,17 +175,43 @@ def autotune(
             }
             if diff:
                 candidates.append(diff)
-        candidates.append({"mppi_scan_unroll": 2})
-    if not candidates or candidates[0] != {}:
-        candidates = [{}] + [c for c in candidates if c != {}]
+        # probe a DIFFERENT unroll than the base's (probing the base value
+        # would re-measure an identical config)
+        candidates.append({"mppi_scan_unroll": 2 if base.mppi_scan_unroll == 1 else 1})
+    # normalize: drop override keys equal to the base (no-ops), dedupe, and
+    # keep the baseline {} first — each duplicate avoided saves a full
+    # episode batch (and a 60-120 s remote compile per fresh shape here)
+    seen, norm = set(), []
+    for c in [{}] + list(candidates):
+        c = {k: v for k, v in c.items() if getattr(base, k) != v}
+        key = tuple(sorted(c.items()))
+        if key in seen:
+            continue
+        seen.add(key)
+        norm.append(c)
+    candidates = norm
 
     trials = []
     for overrides in candidates:
         cfg = base.replace(**overrides) if overrides else base
+        trial_apply = model_apply
+        if model_name == "nl" and model_apply is not None and "nl_compute_dtype" in overrides:
+            # the compute dtype is frozen into the model closure at
+            # make_model time — evaluate_policy uses the CALLER'S apply, so
+            # without a rebuild this trial would silently measure the base
+            # dtype. Same factory => same param tree, so the caller's params
+            # load unchanged (models/__init__.py make_model).
+            from .envs import make_env
+            from .models import make_model
+
+            spec = make_env(env_name, dt=cfg.dt).spec
+            trial_apply = make_model(
+                model_name, env_name, spec.n_obs, spec.m, spec.action_high, cfg
+            ).apply
         t0 = time.perf_counter()
         res = evaluate(
             model_name, env_name, action_delay, seeds=list(seeds), config=cfg,
-            model_apply=model_apply, params=params,
+            model_apply=trial_apply, params=params,
         )
         trials.append(
             {

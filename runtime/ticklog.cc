@@ -116,14 +116,28 @@ void* tl_create(const char* path, uint64_t capacity, uint64_t width) {
   // resumes appending where the crashed process stopped)
   if (access(path, F_OK) == 0) {
     Handle* h = static_cast<Handle*>(tl_open(path));
-    if (!h) return nullptr;
-    if (h->hdr->capacity != capacity || h->hdr->width != width) {
-      munmap(h->map, h->map_len);
-      close(h->fd);
-      delete h;
-      return nullptr;
+    if (h) {
+      if (h->hdr->capacity != capacity || h->hdr->width != width) {
+        munmap(h->map, h->map_len);
+        close(h->fd);
+        delete h;
+        return nullptr;  // a VALID log with other dims: refuse, never destroy
+      }
+      return h;
     }
-    return h;
+    // unopenable file. Reclaim ONLY the half-created case this function can
+    // itself produce — a crash between ftruncate and the final magic store
+    // leaves magic == 0 (ftruncate zero-fills). Anything else (a foreign
+    // file, a truncated real log) is not ours to delete.
+    uint64_t magic = ~0ULL;
+    int fd = open(path, O_RDONLY);
+    if (fd >= 0) {
+      ssize_t n = read(fd, &magic, sizeof(magic));
+      close(fd);
+      if (n >= 0 && static_cast<size_t>(n) < sizeof(magic)) magic = 0;  // short file
+    }
+    if (magic != 0) return nullptr;
+    unlink(path);
   }
   int fd = open(path, O_RDWR | O_CREAT | O_EXCL, 0644);
   if (fd < 0) return nullptr;
@@ -135,10 +149,13 @@ void* tl_create(const char* path, uint64_t capacity, uint64_t width) {
   }
   Handle* h = map_file(fd, len);
   if (!h) return nullptr;
-  h->hdr->magic = kMagic;
   h->hdr->capacity = capacity;
   h->hdr->width = width;
   cursor_atomic(h)->store(0, std::memory_order_release);
+  // magic LAST: until this store lands the file reads as a reclaimable
+  // partial (magic 0), so a crash anywhere above cannot brick the path
+  reinterpret_cast<std::atomic<uint64_t>*>(&h->hdr->magic)
+      ->store(kMagic, std::memory_order_release);
   return h;
 }
 

@@ -36,7 +36,7 @@ def main(argv=None):
                    help="ticks to chain in one on-device scan (amortized "
                         "device tick time, no host round-trip); 0 disables")
     p.add_argument("--ticklog", default=None,
-                   help="record per-tick telemetry [t_wall_s, tick_ms, "
+                   help="record per-tick telemetry [t_rel_s, tick_ms, "
                         "action..., obs...] into this native mmap ring log "
                         "(runtime/ticklog.cc; tail live with "
                         "runtime.ticklog.TickLog.open)")
@@ -115,9 +115,15 @@ def main(argv=None):
     if args.ticklog:
         from neurallaplacecontrol_tpu.runtime.ticklog import TickLog
 
-        width = 2 + spec.m + spec.n_obs  # [t_wall_s, tick_ms, action, obs]
+        # t_rel_s (seconds since log_epoch_unix_s, NOT an absolute epoch —
+        # ~1.8e9 s has a 128 s ulp in the record's float32), tick_ms,
+        # action, obs
+        width = 2 + spec.m + spec.n_obs
         tlog = TickLog.create(args.ticklog, args.ticklog_capacity, width)
-        print(f"tick log: {args.ticklog} (width {width})", file=sys.stderr)
+        tlog_epoch = time.time()
+        tlog_t0 = time.perf_counter()
+        print(f"tick log: {args.ticklog} (width {width}, "
+              f"epoch_unix_s {tlog_epoch:.3f})", file=sys.stderr)
 
     lat = []
     for _ in range(args.ticks):
@@ -129,7 +135,8 @@ def main(argv=None):
         lat.append(tick_s)
         if tlog is not None:
             tlog.append(np.concatenate([
-                [time.time(), tick_s * 1e3], np.asarray(action), np.asarray(obs)
+                [time.perf_counter() - tlog_t0, tick_s * 1e3],
+                np.asarray(action), np.asarray(obs),
             ]))
         executed = state.action_buffer[-(args.delay + 1)]
         raw = raw + spec.dt * env.rhs(raw, executed)
@@ -180,6 +187,10 @@ def main(argv=None):
         "control_rate_hz": round(1e3 / float(np.median(lat_ms)), 1),
         "realtime_ok": bool(np.percentile(lat_ms, 99) < spec.dt * 1e3),
         "backend": jax.devices()[0].platform,
+        "ticklog": args.ticklog,
+        "ticklog_epoch_unix_s": (
+            round(tlog_epoch, 3) if args.ticklog else None
+        ),
     }
     print(json.dumps(out))
     return out

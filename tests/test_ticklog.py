@@ -95,6 +95,24 @@ def test_dimension_mismatch_and_bad_paths(tmp_path):
         ticklog.TickLog.open(str(tmp_path / "missing.tlog"))
 
 
+def test_reclaims_half_created_file_but_not_foreign(tmp_path):
+    """A crash between file creation and the final magic store leaves a
+    zero-filled header; tl_create must reclaim it (or the log path is
+    bricked forever). A foreign non-empty file must be refused untouched."""
+    partial = tmp_path / "partial.tlog"
+    partial.write_bytes(b"\x00" * 64)  # ftruncate-zeroed stub
+    log = ticklog.TickLog.create(str(partial), capacity=4, width=2)
+    log.append(_rec(0, 2))
+    assert log.count == 1
+    log.close()
+
+    foreign = tmp_path / "foreign.bin"
+    foreign.write_bytes(b"definitely not a tick log, do not delete me")
+    with pytest.raises(IOError):
+        ticklog.TickLog.create(str(foreign), capacity=4, width=2)
+    assert foreign.read_bytes().startswith(b"definitely")  # untouched
+
+
 def test_last_on_empty_and_sync(tmp_path):
     log = ticklog.TickLog.create(str(tmp_path / "e.tlog"), capacity=4, width=2)
     assert log.last(3).shape == (0, 2)

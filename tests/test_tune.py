@@ -140,6 +140,73 @@ def test_autotune_default_candidates():
     )
     assert [t["overrides"] for t in trials2] == [{}, {"mppi_scan_unroll": 2}]
 
+    # a base already at unroll=2 probes unroll=1, never itself
+    table2 = dict(table)
+    table2[("float32", 2)] = (1000.0, -100.0)
+    _, trials3 = tune.autotune(
+        "nl", "oderl-cartpole", 1, base=Config(mppi_scan_unroll=2),
+        evaluate=_fake_evaluate(table2),
+    )
+    assert [t["overrides"] for t in trials3] == [{}, {"mppi_scan_unroll": 1}]
+
+
+def test_autotune_dedupes_and_drops_noop_candidates():
+    """Duplicate candidates and overrides equal to the base are never
+    measured twice — each duplicate costs a full episode batch (and a
+    60-120 s remote compile per fresh shape on this TPU)."""
+    calls = []
+
+    def counting_evaluate(model_name, env_name, delay, seeds, config, **kw):
+        calls.append(config.mppi_scan_unroll)
+        return {
+            "mppi_rollouts_per_sec": 1.0,
+            "total_reward": -1.0,
+            "episode_elapsed_time": 1.0,
+        }
+
+    _, trials = tune.autotune(
+        "nl", "oderl-cartpole", 1, base=Config(),
+        candidates=[{}, {"mppi_scan_unroll": 1},  # == base, a no-op
+                    {"mppi_scan_unroll": 2}, {"mppi_scan_unroll": 2}],
+        evaluate=counting_evaluate,
+    )
+    assert calls == [1, 2]
+    assert [t["overrides"] for t in trials] == [{}, {"mppi_scan_unroll": 2}]
+
+
+def test_autotune_rebuilds_model_for_compute_dtype():
+    """An nl_compute_dtype candidate must NOT silently measure the caller's
+    frozen-dtype apply: the dtype is baked into the closure at make_model
+    time, so autotune rebuilds the model from the trial config (same
+    factory => same param tree, so the caller's params load unchanged)."""
+    from neurallaplacecontrol_tpu.envs import make_env
+    from neurallaplacecontrol_tpu.models import make_model
+
+    env = make_env("oderl-cartpole")
+    base = Config()
+    model = make_model("nl", "oderl-cartpole", env.spec.n_obs, env.spec.m,
+                       env.spec.action_high, base)
+    seen_applies = []
+
+    def recording_evaluate(model_name, env_name, delay, seeds, config, **kw):
+        seen_applies.append((config.nl_compute_dtype, kw["model_apply"]))
+        return {
+            "mppi_rollouts_per_sec": 1.0,
+            "total_reward": -1.0,
+            "episode_elapsed_time": 1.0,
+        }
+
+    tune.autotune(
+        "nl", "oderl-cartpole", 1, base=base,
+        candidates=[{}, {"nl_compute_dtype": "bfloat16"}],
+        model_apply=model.apply, params=model.init(__import__("jax").random.PRNGKey(0)),
+        evaluate=recording_evaluate,
+    )
+    assert seen_applies[0] == ("float32", model.apply)  # baseline: caller's
+    dt_trial, apply_trial = seen_applies[1]
+    assert dt_trial == "bfloat16"
+    assert apply_trial is not model.apply  # rebuilt for the trial dtype
+
 
 def test_autotune_live_tiny_oracle():
     """End-to-end through the real evaluate_policy on CPU: tiny oracle
