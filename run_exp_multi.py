@@ -122,6 +122,22 @@ def main(argv=None):
         "is the known-good path for NL (scripts/run_matrix_r2b.sh).",
     )
     parser.add_argument(
+        "--platform", type=str, default=None,
+        help="force a JAX platform (e.g. 'cpu') before first device use — "
+        "the reliable switch on images whose site hooks override the "
+        "JAX_PLATFORMS env var (CLAUDE.md TPU facts)",
+    )
+    parser.add_argument(
+        "--shard", type=str, default="none",
+        help="multi-chip evaluation sharding: 'seeds' spreads the seed "
+        "episodes over the device mesh, 'rollouts' shards each planner's K "
+        "batch over ALL devices, 'grid:NSxNK' composes both on a 2-D mesh "
+        "(parallel.make_grid_sharded_episodes). Wraps evaluate_policy's "
+        "shard_* flags; 'none' runs single-chip. The random policy has no "
+        "rollout batch, so 'rollouts'/'grid' cells fall back to unsharded "
+        "for it.",
+    )
+    parser.add_argument(
         "--profile_trace_dir", type=str, default=None,
         help="capture a jax.profiler trace of each cell's evaluation into "
         "<dir>/<env>_<model>_d<delay>/ (utils/timing.py profile_trace; "
@@ -130,6 +146,22 @@ def main(argv=None):
     )
     ns, rest = parser.parse_known_args(argv)
     config = parse_args(rest)
+
+    if ns.platform:
+        import jax
+
+        jax.config.update("jax_platforms", ns.platform)
+
+    shard_kwargs = {}
+    if ns.shard == "seeds":
+        shard_kwargs = {"shard_seeds": True}
+    elif ns.shard == "rollouts":
+        shard_kwargs = {"shard_rollouts": True}
+    elif ns.shard.startswith("grid:"):
+        n_s, _, n_k = ns.shard[len("grid:"):].lower().partition("x")
+        shard_kwargs = {"shard_grid": (int(n_s), int(n_k))}
+    elif ns.shard != "none":
+        parser.error(f"--shard must be none|seeds|rollouts|grid:NSxNK, got {ns.shard!r}")
 
     logger = setup_logger(__file__, log_folder=config.log_folder)
     results = JsonlWriter(ns.results)
@@ -264,6 +296,10 @@ def main(argv=None):
                             f"{ns.profile_trace_dir}/"
                             f"{env_name}_{model_name}_d{delay}"
                         )
+                    if shard_kwargs and not (
+                        model_name == "random" and ns.shard != "seeds"
+                    ):  # random has no rollout batch to K-shard
+                        extra.update(shard_kwargs)
                     r = evaluate_policy(
                         model_name, env_name, delay, seeds=seeds, config=config, **extra
                     )

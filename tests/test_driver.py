@@ -177,6 +177,35 @@ def test_driver_ensemble_excludes_flagship_by_default(tmp_path, monkeypatch):
     assert {(m, d) for m, d in individual if m == "nl"} >= {("nl", 0), ("nl", 1)}
 
 
+def test_driver_shard_grid_flag(tmp_path):
+    """--shard grid:2x4 evaluates on the 2-D (seeds x k) mesh end-to-end
+    through the driver (8 virtual CPU devices from conftest); the random
+    policy cell falls back to unsharded instead of tripping the grid's
+    no-rollout-batch assert."""
+    results = str(tmp_path / "results.jsonl")
+    argv = [
+        "--envs", "oderl-pendulum",
+        "--delays", "0",
+        "--models", "oracle,random",
+        "--results", results,
+        "--seed_runs", "2",
+        "--dt", "0.5",
+        "--mppi_roll_outs", "8",
+        "--mppi_time_steps", "3",
+        "--saved_models_path", str(tmp_path) + "/",
+        "--log_folder", str(tmp_path),
+        "--shard", "grid:2x4",
+    ]
+    run_exp_multi.main(argv)
+    with open(results) as f:
+        recs = [json.loads(line) for line in f if line.strip()]
+    by_model = {r["model_name"]: r for r in recs}
+    assert set(by_model) == {"oracle", "random"}
+    for r in recs:
+        assert not r["errored"], r
+        assert np.isfinite(r["total_reward"])
+
+
 def test_driver_profile_trace_flag(tmp_path):
     """--profile_trace_dir captures a per-cell jax.profiler trace during
     evaluation (the first-class tracing switch SURVEY.md §5 calls for)."""
