@@ -160,3 +160,50 @@ class TickLog:
             self.close()
         except Exception:  # noqa: BLE001 — interpreter teardown
             pass
+
+
+def _main(argv=None):
+    """Monitoring CLI: ``python -m neurallaplacecontrol_tpu.runtime.ticklog
+    <path> [--last N] [--follow]`` prints records as JSON lines (one float
+    list per record, the writer's schema order). ``--follow`` tails a LIVE
+    log from another process — the cross-process read path the ring was
+    built for."""
+    import argparse
+    import json
+    import sys
+    import time as _time
+
+    p = argparse.ArgumentParser(description=_main.__doc__)
+    p.add_argument("path")
+    p.add_argument("--last", type=int, default=10)
+    p.add_argument("--follow", action="store_true")
+    p.add_argument("--poll_s", type=float, default=0.2)
+    args = p.parse_args(argv)
+
+    log = TickLog.open(args.path)
+    print(
+        f"# {args.path}: {log.count} records, width {log.width}, "
+        f"ring capacity {log.capacity}",
+        file=sys.stderr,
+    )
+    for row in log.last(args.last):
+        print(json.dumps([round(float(x), 6) for x in row]))
+    cursor = log.count
+    while args.follow:
+        new = log.count
+        if new > cursor:
+            start = max(cursor, new - log.capacity)  # skip lapped records
+            try:
+                rows = log.read(start, new - start)
+            except IndexError:  # lapped between count and read
+                cursor = new
+                continue
+            for row in rows:
+                print(json.dumps([round(float(x), 6) for x in row]), flush=True)
+            cursor = new
+        else:
+            _time.sleep(args.poll_s)
+
+
+if __name__ == "__main__":
+    _main()

@@ -113,6 +113,28 @@ def test_reclaims_half_created_file_but_not_foreign(tmp_path):
     assert foreign.read_bytes().startswith(b"definitely")  # untouched
 
 
+def test_cli_tail_reads_live_log(tmp_path):
+    """The monitoring CLI attaches to a log written by another process and
+    prints the newest records as JSON lines."""
+    import json
+
+    path = str(tmp_path / "cli.tlog")
+    log = ticklog.TickLog.create(path, capacity=8, width=3)
+    for i in range(5):
+        log.append(_rec(i))
+    log.sync()
+
+    out = subprocess.run(
+        [sys.executable, "-m", "neurallaplacecontrol_tpu.runtime.ticklog",
+         path, "--last", "2"],
+        check=True, capture_output=True, text=True, cwd="/root/repo",
+    )
+    rows = [json.loads(line) for line in out.stdout.splitlines() if line]
+    assert rows == [[3.0, 30.0, 300.0], [4.0, 40.0, 400.0]]
+    assert "5 records" in out.stderr
+    log.close()
+
+
 def test_last_on_empty_and_sync(tmp_path):
     log = ticklog.TickLog.create(str(tmp_path / "e.tlog"), capacity=4, width=2)
     assert log.last(3).shape == (0, 2)
