@@ -181,14 +181,18 @@ def _main(argv=None):
     args = p.parse_args(argv)
 
     log = TickLog.open(args.path)
+    # snapshot the cursor BEFORE dumping so records appended while the
+    # initial batch prints are picked up by the follow loop (no gap)
+    cursor = log.count
     print(
-        f"# {args.path}: {log.count} records, width {log.width}, "
+        f"# {args.path}: {cursor} records, width {log.width}, "
         f"ring capacity {log.capacity}",
         file=sys.stderr,
     )
-    for row in log.last(args.last):
-        print(json.dumps([round(float(x), 6) for x in row]))
-    cursor = log.count
+    k = min(args.last, cursor, log.capacity)
+    if k > 0:
+        for row in log.read(cursor - k, k):
+            print(json.dumps([round(float(x), 6) for x in row]))
     while args.follow:
         new = log.count
         if new > cursor:

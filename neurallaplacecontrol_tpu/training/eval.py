@@ -186,11 +186,14 @@ def evaluate_policy(
         )
 
     keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+    if shard_grid is not None and model_name == "random":
+        shard_grid = None  # no rollout batch to shard — same graceful
+        # fallback shard_rollouts gets above, so grid callers (e.g. the
+        # driver's --shard grid) need no per-model special-casing
     if shard_grid is not None:
         assert not (shard_seeds or shard_rollouts), (
             "shard_grid is exclusive with shard_seeds/shard_rollouts"
         )
-        assert model_name != "random", "random policy has no rollout batch"
         assert window_encoder is None, (
             "nl_planner_precompute is not supported on the 2-D grid mesh"
         )

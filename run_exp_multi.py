@@ -158,8 +158,16 @@ def main(argv=None):
     elif ns.shard == "rollouts":
         shard_kwargs = {"shard_rollouts": True}
     elif ns.shard.startswith("grid:"):
-        n_s, _, n_k = ns.shard[len("grid:"):].lower().partition("x")
-        shard_kwargs = {"shard_grid": (int(n_s), int(n_k))}
+        try:
+            n_s, _, n_k = ns.shard[len("grid:"):].lower().partition("x")
+            shard_grid = (int(n_s), int(n_k))
+            if min(shard_grid) < 1:
+                raise ValueError(shard_grid)
+        except ValueError:
+            parser.error(
+                f"--shard grid axes must be positive ints 'grid:NSxNK', got {ns.shard!r}"
+            )
+        shard_kwargs = {"shard_grid": shard_grid}
     elif ns.shard != "none":
         parser.error(f"--shard must be none|seeds|rollouts|grid:NSxNK, got {ns.shard!r}")
 
@@ -296,10 +304,9 @@ def main(argv=None):
                             f"{ns.profile_trace_dir}/"
                             f"{env_name}_{model_name}_d{delay}"
                         )
-                    if shard_kwargs and not (
-                        model_name == "random" and ns.shard != "seeds"
-                    ):  # random has no rollout batch to K-shard
-                        extra.update(shard_kwargs)
+                    # evaluate_policy itself falls back to unsharded for the
+                    # random policy under rollout/grid sharding
+                    extra.update(shard_kwargs)
                     r = evaluate_policy(
                         model_name, env_name, delay, seeds=seeds, config=config, **extra
                     )

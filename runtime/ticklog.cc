@@ -38,6 +38,7 @@
 #include <cstdint>
 #include <cstring>
 #include <fcntl.h>
+#include <string>
 #include <sys/mman.h>
 #include <sys/stat.h>
 #include <unistd.h>
@@ -113,49 +114,49 @@ void* tl_open(const char* path) {
 void* tl_create(const char* path, uint64_t capacity, uint64_t width) {
   if (capacity == 0 || width == 0) return nullptr;
   // reuse an existing compatible log (restart-friendly: the controller
-  // resumes appending where the crashed process stopped)
+  // resumes appending where the crashed process stopped). An existing file
+  // that is not a valid log is REFUSED, never deleted — creation below is
+  // tmp+rename-atomic, so this path never sees our own partial files.
   if (access(path, F_OK) == 0) {
     Handle* h = static_cast<Handle*>(tl_open(path));
-    if (h) {
-      if (h->hdr->capacity != capacity || h->hdr->width != width) {
-        munmap(h->map, h->map_len);
-        close(h->fd);
-        delete h;
-        return nullptr;  // a VALID log with other dims: refuse, never destroy
-      }
-      return h;
+    if (!h) return nullptr;  // foreign/corrupt: not ours to destroy
+    if (h->hdr->capacity != capacity || h->hdr->width != width) {
+      munmap(h->map, h->map_len);
+      close(h->fd);
+      delete h;
+      return nullptr;  // a VALID log with other dims: refuse
     }
-    // unopenable file. Reclaim ONLY the half-created case this function can
-    // itself produce — a crash between ftruncate and the final magic store
-    // leaves magic == 0 (ftruncate zero-fills). Anything else (a foreign
-    // file, a truncated real log) is not ours to delete.
-    uint64_t magic = ~0ULL;
-    int fd = open(path, O_RDONLY);
-    if (fd >= 0) {
-      ssize_t n = read(fd, &magic, sizeof(magic));
-      close(fd);
-      if (n >= 0 && static_cast<size_t>(n) < sizeof(magic)) magic = 0;  // short file
-    }
-    if (magic != 0) return nullptr;
-    unlink(path);
+    return h;
   }
-  int fd = open(path, O_RDWR | O_CREAT | O_EXCL, 0644);
+  // initialize under a temp name, then rename(2) into place: the target
+  // path is only ever absent or a COMPLETE valid log, so a crash anywhere
+  // in here leaves at worst a stray .tmp file, never a bricked path
+  std::string tmp = std::string(path) + ".tmp." + std::to_string(getpid());
+  int fd = open(tmp.c_str(), O_RDWR | O_CREAT | O_EXCL, 0644);
   if (fd < 0) return nullptr;
   size_t len = file_len(capacity, width);
   if (ftruncate(fd, static_cast<off_t>(len)) != 0) {
     close(fd);
-    unlink(path);
+    unlink(tmp.c_str());
     return nullptr;
   }
   Handle* h = map_file(fd, len);
-  if (!h) return nullptr;
+  if (!h) {
+    unlink(tmp.c_str());
+    return nullptr;
+  }
+  h->hdr->magic = kMagic;
   h->hdr->capacity = capacity;
   h->hdr->width = width;
   cursor_atomic(h)->store(0, std::memory_order_release);
-  // magic LAST: until this store lands the file reads as a reclaimable
-  // partial (magic 0), so a crash anywhere above cannot brick the path
-  reinterpret_cast<std::atomic<uint64_t>*>(&h->hdr->magic)
-      ->store(kMagic, std::memory_order_release);
+  if (msync(h->map, sizeof(Header), MS_SYNC) != 0 ||
+      rename(tmp.c_str(), path) != 0) {
+    munmap(h->map, h->map_len);
+    close(h->fd);
+    delete h;
+    unlink(tmp.c_str());
+    return nullptr;
+  }
   return h;
 }
 

@@ -115,12 +115,22 @@ def main(argv=None):
     if args.ticklog:
         from neurallaplacecontrol_tpu.runtime.ticklog import TickLog
 
-        # t_rel_s (seconds since log_epoch_unix_s, NOT an absolute epoch —
-        # ~1.8e9 s has a 128 s ulp in the record's float32), tick_ms,
-        # action, obs
+        # t_rel_s (seconds since the log's epoch, NOT an absolute unix
+        # time — ~1.8e9 s has a 128 s ulp in the record's float32),
+        # tick_ms, action, obs. The epoch persists in a sidecar file so a
+        # crash-restarted process resuming the SAME ring keeps one
+        # monotone timebase instead of restarting t_rel at zero.
         width = 2 + spec.m + spec.n_obs
         tlog = TickLog.create(args.ticklog, args.ticklog_capacity, width)
-        tlog_epoch = time.time()
+        epoch_path = args.ticklog + ".epoch"
+        if os.path.exists(epoch_path) and tlog.count > 0:
+            with open(epoch_path) as f:
+                tlog_epoch = float(f.read())
+        else:
+            tlog_epoch = time.time()
+            with open(epoch_path, "w") as f:
+                f.write(repr(tlog_epoch))
+        tlog_base = time.time() - tlog_epoch
         tlog_t0 = time.perf_counter()
         print(f"tick log: {args.ticklog} (width {width}, "
               f"epoch_unix_s {tlog_epoch:.3f})", file=sys.stderr)
@@ -135,7 +145,7 @@ def main(argv=None):
         lat.append(tick_s)
         if tlog is not None:
             tlog.append(np.concatenate([
-                [time.perf_counter() - tlog_t0, tick_s * 1e3],
+                [tlog_base + time.perf_counter() - tlog_t0, tick_s * 1e3],
                 np.asarray(action), np.asarray(obs),
             ]))
         executed = state.action_buffer[-(args.delay + 1)]

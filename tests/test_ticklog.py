@@ -95,22 +95,31 @@ def test_dimension_mismatch_and_bad_paths(tmp_path):
         ticklog.TickLog.open(str(tmp_path / "missing.tlog"))
 
 
-def test_reclaims_half_created_file_but_not_foreign(tmp_path):
-    """A crash between file creation and the final magic store leaves a
-    zero-filled header; tl_create must reclaim it (or the log path is
-    bricked forever). A foreign non-empty file must be refused untouched."""
-    partial = tmp_path / "partial.tlog"
-    partial.write_bytes(b"\x00" * 64)  # ftruncate-zeroed stub
-    log = ticklog.TickLog.create(str(partial), capacity=4, width=2)
-    log.append(_rec(0, 2))
-    assert log.count == 1
-    log.close()
+def test_create_is_atomic_and_never_deletes_foreign_files(tmp_path):
+    """Creation initializes under a temp name and rename(2)s into place, so
+    the target path is only ever absent or a complete valid log — and ANY
+    pre-existing non-log file (including a zero-filled placeholder, which a
+    reclaim-by-zero-magic heuristic would have destroyed) is refused
+    untouched."""
+    zero_stub = tmp_path / "stub.bin"
+    zero_stub.write_bytes(b"\x00" * 64)  # e.g. a user's truncate -s placeholder
+    with pytest.raises(IOError):
+        ticklog.TickLog.create(str(zero_stub), capacity=4, width=2)
+    assert zero_stub.read_bytes() == b"\x00" * 64  # untouched
 
     foreign = tmp_path / "foreign.bin"
     foreign.write_bytes(b"definitely not a tick log, do not delete me")
     with pytest.raises(IOError):
         ticklog.TickLog.create(str(foreign), capacity=4, width=2)
     assert foreign.read_bytes().startswith(b"definitely")  # untouched
+
+    # fresh create leaves no stray temp files next to the log
+    log = ticklog.TickLog.create(str(tmp_path / "fresh.tlog"), capacity=4, width=2)
+    log.append(_rec(0, 2))
+    log.close()
+    assert sorted(p.name for p in tmp_path.iterdir()) == [
+        "foreign.bin", "fresh.tlog", "stub.bin",
+    ]
 
 
 def test_cli_tail_reads_live_log(tmp_path):
