@@ -90,3 +90,30 @@ def test_parse_log_file_keeps_nan_records(tmp_path):
     recs = parse_log_file(log)
     assert len(recs) == 1
     assert np.isnan(recs[0]["total_reward"]) and np.isinf(recs[0]["total_reward_std"])
+
+
+def test_plot_matrix_scores_renders(tmp_path):
+    """The matrix figure renders from result records: one panel per env,
+    the model color map fixed by identity (colors never follow rank), and
+    an unknown family folds to the overflow gray instead of a new hue."""
+    from neurallaplacecontrol_tpu.results.plotting import (
+        _MODEL_COLORS,
+        plot_matrix_scores,
+    )
+
+    recs = []
+    for env in ("oderl-pendulum", "oderl-cartpole"):
+        for delay in (0, 1):
+            for model, reward in (("nl", -130.0), ("oracle", -121.0),
+                                  ("random", -616.0), ("mystery", -300.0)):
+                recs.append({
+                    "model_name": model, "env_name": env, "delay": delay,
+                    "total_reward": reward, "total_rewards": [reward] * 3,
+                })
+    out = plot_matrix_scores(recs, path=str(tmp_path / "m.png"))
+    import os
+
+    assert os.path.getsize(out) > 10_000
+    # identity encoding contract: known families own fixed hues
+    assert _MODEL_COLORS["nl"] != _MODEL_COLORS["oracle"]
+    assert "mystery" not in _MODEL_COLORS  # folds to overflow gray
