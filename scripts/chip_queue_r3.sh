@@ -51,7 +51,9 @@ print(json.dumps({"best_overrides": [t for t in trials if t["best"]][0]["overrid
 EOF
 
 # 4. serving latency demo with native tick telemetry on the chip
+# (ring capacity bounds the checked-in artifact to ~128 KB)
 run serve 2400 python scripts/serve_demo.py --ticks 300 \
-  --ticklog "$ART/serve_ticks_r3.tlog" | tee "$ART/serve_demo_tpu_r3.json"
+  --ticklog "$ART/serve_ticks_r3.tlog" --ticklog_capacity 4096 \
+  | tee "$ART/serve_demo_tpu_r3.json"
 
 echo "queue done; artifacts in $ART" >&2
