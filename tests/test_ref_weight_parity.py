@@ -1,0 +1,262 @@
+"""Weight-transplant parity against the reference's OWN torch modules.
+
+The strongest correctness evidence for the flagship NL model: instantiate
+the reference's `ReverseGRUEncoder` and `LaplaceRepresentationFunc`
+(reference w_nl.py:14-63) with torch's initializers, transplant the exact
+weights into our pytree layout, and assert the forwards agree to float64
+round-off. This cross-validates the GRU gate math (torch's reset-applied-
+after-hidden-matmul convention with separate ih/hh biases), the encoder
+head, the trunk MLP, the theta/phi sphere-angle scaling (w_nl.py:57-63),
+and the normalization plumbing (w_nl.py:119-129) — everything except the
+ILT combine, which tests/test_ilt.py validates independently against
+analytic closed-form transform pairs.
+
+torchlaplace (the package the reference imports for `laplace_reconstruct`,
+w_nl.py:6) is not installed here, so the reference's full `forward` cannot
+execute; we stub the import and drive the submodules directly, composing
+the full pipeline with OUR ILT on both sides. The one contract this cannot
+cross-check is the [theta_s, phi_s, p] input layout the external package
+feeds its rep MLP — a pure relabeling of MLP inputs that training absorbs
+(documented in ops/ilt.py's laplace_reconstruct).
+
+Skipped when /root/reference is not present (standalone checkouts).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = pathlib.Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    not (REF / "w_nl.py").exists(), reason="reference checkout unavailable"
+)
+
+STATE_DIM, ACTION_DIM, BUF = 5, 1, 4
+HIDDEN = 128
+DT = 0.05
+
+
+@pytest.fixture(scope="module")
+def ref_w_nl():
+    torch = pytest.importorskip("torch")
+    del torch
+    if "torchlaplace" not in sys.modules:
+        stub = types.ModuleType("torchlaplace")
+
+        def _unavailable(*a, **k):  # pragma: no cover - guard only
+            raise NotImplementedError(
+                "torchlaplace is not installed; this parity suite drives the "
+                "reference submodules directly"
+            )
+
+        stub.laplace_reconstruct = _unavailable
+        sys.modules["torchlaplace"] = stub
+    sys.path.insert(0, str(REF))
+    try:
+        import w_nl  # noqa: F401  (imports reference config too)
+    finally:
+        sys.path.remove(str(REF))
+    return w_nl
+
+
+def _build_ref_model(ref_w_nl, ilt_algorithm: str, s_recon_terms: int):
+    import torch
+
+    from neurallaplacecontrol_tpu.models.base import norm_stats_for
+
+    norm = norm_stats_for("oderl-cartpole", action_high=3.0, action_dim=ACTION_DIM)
+    torch.manual_seed(0)
+    ref = ref_w_nl.NeuralLaplaceModel(
+        STATE_DIM,
+        ACTION_DIM,
+        latent_dim=2,
+        hidden_units=HIDDEN,
+        s_recon_terms=s_recon_terms,
+        ilt_algorithm=ilt_algorithm,
+        encode_obs_time=False,
+        state_mean=norm.state_mean,
+        state_std=norm.state_std,
+        action_mean=norm.action_mean,
+        action_std=norm.action_std,
+        normalize=True,
+        normalize_time=True,
+        dt=DT,
+    ).double()
+    return ref, norm
+
+
+def _transplant(ref_model) -> dict:
+    """torch state_dict -> our pytree (models/common.py layouts).
+
+    torch nn.GRU stores gate blocks row-stacked [3H, D] in (r, z, n) order
+    with separate ih/hh biases — exactly our `_gru_cell` convention, so the
+    mapping is a transpose per matrix and nothing else.
+    """
+    import jax.numpy as jnp
+
+    sd = {
+        k: np.asarray(v.detach().cpu().numpy(), dtype=np.float64)
+        for k, v in ref_model.state_dict().items()
+    }
+    gru = [
+        {
+            "w_ih": jnp.asarray(sd[f"action_encoder.gru.weight_ih_l{layer}"].T),
+            "w_hh": jnp.asarray(sd[f"action_encoder.gru.weight_hh_l{layer}"].T),
+            "b_ih": jnp.asarray(sd[f"action_encoder.gru.bias_ih_l{layer}"]),
+            "b_hh": jnp.asarray(sd[f"action_encoder.gru.bias_hh_l{layer}"]),
+        }
+        for layer in range(2)
+    ]
+    out = {
+        "w": jnp.asarray(sd["action_encoder.linear_out.weight"].T),
+        "b": jnp.asarray(sd["action_encoder.linear_out.bias"]),
+    }
+    mlp = [
+        {
+            "w": jnp.asarray(sd[f"laplace_rep_func.linear_tanh_stack.{i}.weight"].T),
+            "b": jnp.asarray(sd[f"laplace_rep_func.linear_tanh_stack.{i}.bias"]),
+        }
+        for i in (0, 2, 4)
+    ]
+    return {"encoder": {"gru": gru, "out": out}, "laplace_rep": mlp}
+
+
+def _build_ours(norm, ilt_algorithm: str, s_recon_terms: int):
+    import jax.numpy as jnp
+
+    from neurallaplacecontrol_tpu.models.nl import make_nl_model
+
+    return make_nl_model(
+        STATE_DIM,
+        ACTION_DIM,
+        norm,
+        hidden_units=HIDDEN,
+        s_recon_terms=s_recon_terms,
+        ilt_algorithm=ilt_algorithm,
+        encode_obs_time=False,
+        normalize=True,
+        normalize_time=True,
+        dt=DT,
+        dtype=jnp.float64,
+    )
+
+
+def _inputs(rng: np.random.Generator, batch: int):
+    obs = rng.normal(size=(batch, STATE_DIM)) * np.array(
+        [2.0, 8.0, 0.7, 0.7, 12.0]
+    )
+    acts = rng.uniform(-3.0, 3.0, size=(batch, BUF, ACTION_DIM))
+    ts = np.full((batch, 1), DT)
+    return obs, acts, ts
+
+
+def test_action_encoder_parity(ref_w_nl):
+    """Transplanted reverse-GRU encoder matches torch to f64 round-off."""
+    import torch
+
+    ref, norm = _build_ref_model(ref_w_nl, "fourier", 33)
+    model = _build_ours(norm, "fourier", 33)
+    params = _transplant(ref)
+
+    rng = np.random.default_rng(1)
+    _, acts, _ = _inputs(rng, 7)
+    acts_n = (acts - norm.action_mean) / norm.action_std  # w_nl.py:121
+
+    with torch.no_grad():
+        ref_latent = ref.action_encoder(torch.from_numpy(acts_n)).numpy()
+
+    encode = model.make_planner_window_encoder(params)
+    ours = np.asarray(encode(acts[:, None, :, :]))[:, 0, :]  # raw in, [B,1,2]
+    np.testing.assert_allclose(ours, ref_latent, rtol=0, atol=1e-12)
+
+
+def test_rep_func_parity(ref_w_nl):
+    """Transplanted Laplace rep MLP + sphere-angle heads match torch."""
+    import torch
+
+    from neurallaplacecontrol_tpu.models.common import mlp_apply_tanh
+
+    ref, norm = _build_ref_model(ref_w_nl, "fourier", 33)
+    params = _transplant(ref)
+    del norm
+
+    rng = np.random.default_rng(2)
+    i = rng.normal(size=(9, 2 * 33 + STATE_DIM + 2))
+    with torch.no_grad():
+        theta_ref, phi_ref = ref.laplace_rep_func(torch.from_numpy(i))
+
+    out = np.asarray(mlp_apply_tanh(params["laplace_rep"], i))
+    out = out.reshape(9, 2 * STATE_DIM, 33)
+    theta = np.tanh(out[:, :STATE_DIM, :]) * np.pi
+    phi = np.tanh(out[:, STATE_DIM:, :]) * (np.pi / 2.0)
+    np.testing.assert_allclose(theta, theta_ref.numpy(), rtol=0, atol=1e-12)
+    np.testing.assert_allclose(phi, phi_ref.numpy(), rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("ilt_algorithm,terms", [("fourier", 33), ("cme", 17)])
+def test_full_forward_parity(ref_w_nl, ilt_algorithm, terms):
+    """model.apply == reference-composed forward with identical weights.
+
+    The reference side reproduces w_nl.py:117-145 with the reference's own
+    torch submodules (normalize -> action_encoder -> concat -> rep func),
+    sharing only the ILT node/combine stage with us (closed-form-validated
+    separately). Everything learnable runs through torch on one side and
+    our pytree ops on the other.
+    """
+    import torch
+
+    from neurallaplacecontrol_tpu.ops.ilt import laplace_reconstruct
+
+    ref, norm = _build_ref_model(ref_w_nl, ilt_algorithm, terms)
+    model = _build_ours(norm, ilt_algorithm, terms)
+    params = _transplant(ref)
+    eff = params["laplace_rep"][-1]["w"].shape[-1] // (2 * STATE_DIM)
+
+    rng = np.random.default_rng(3)
+    obs, acts, ts = _inputs(rng, 11)
+
+    ours = np.asarray(model.apply(params, obs, acts, ts))
+
+    # reference-composed side (w_nl.py:119-135), torch f64 throughout
+    obs_n = (obs - norm.state_mean) / norm.state_std
+    ts_n = ts[:, 0] / (DT * 8.0)
+    acts_n = (acts - norm.action_mean) / norm.action_std
+    with torch.no_grad():
+        p_action = ref.action_encoder(torch.from_numpy(acts_n)).numpy()
+    p = np.concatenate([obs_n, p_action], axis=-1)
+
+    def torch_rep_fn(theta_s, phi_s, p_in):
+        i = np.concatenate(
+            [np.asarray(theta_s), np.asarray(phi_s), np.asarray(p_in)], axis=-1
+        )
+        with torch.no_grad():
+            theta, phi = ref.laplace_rep_func(torch.from_numpy(i))
+        import jax.numpy as jnp
+
+        return jnp.asarray(theta.numpy()), jnp.asarray(phi.numpy())
+
+    ref_out = np.asarray(
+        laplace_reconstruct(
+            torch_rep_fn, p, ts_n, recon_dim=STATE_DIM,
+            algorithm=ilt_algorithm, terms=eff,
+        )
+    )
+    np.testing.assert_allclose(ours, ref_out, rtol=0, atol=1e-10)
+
+
+def test_cme_term_snap_matches_reference(ref_w_nl):
+    """Our snap_cme_terms reproduces the reference's quirky table snap
+    (w_nl.py:86-88) for every request the driver can produce."""
+    from neurallaplacecontrol_tpu.config import snap_cme_terms
+
+    ref, _ = _build_ref_model(ref_w_nl, "cme", 17)
+    assert ref.s_recon_terms == snap_cme_terms(17)
+    for req in (3, 5, 9, 17, 33, 65, 101, 199):
+        ref_n, _ = _build_ref_model(ref_w_nl, "cme", req)
+        assert ref_n.s_recon_terms == snap_cme_terms(req), req
