@@ -1,0 +1,147 @@
+"""Checkpoint interop with the reference torch implementation.
+
+Reference users carry trained `NeuralLaplaceModel` checkpoints (torch
+`state_dict`s saved by reference train_utils.py:442,490 and reloaded at
+train_utils.py:283-288). This module maps
+those to our NL pytree layout and back, so switching frameworks does not
+mean retraining:
+
+    params = nl_params_from_state_dict(torch.load("nl.pt"))   # import
+    sd     = nl_state_dict_from_params(params)                # export
+
+The mapping is exact (tests/test_ref_weight_parity.py pins forward parity
+to f64 round-off against the reference's own torch modules):
+
+- torch `nn.GRU` stores gate blocks row-stacked ``[3H, D]`` in (reset,
+  update, candidate) order with separate ih/hh bias vectors — the same
+  convention as models/common.py's ``_gru_cell``, so each matrix maps by
+  transpose and biases map verbatim.
+- `nn.Linear` weights are ``[out, in]`` (transpose), biases verbatim.
+- Normalization stats / dt live in registered buffers on the reference
+  module (w_nl.py:112-116) but are **constructor arguments** of
+  `make_nl_model` here — they are intentionally NOT part of the params
+  pytree and are dropped on import / re-emitted on export.
+
+Functions take/return plain array mappings; torch is only needed by the
+caller to `torch.load` the file (`load_torch_state_dict` wraps that when
+torch is importable).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+_GRU_LAYERS = 2  # reference w_nl.py:21 (nn.GRU(..., 2, batch_first=True))
+_MLP_SLOTS = (0, 2, 4)  # Linear positions inside the linear_tanh_stack
+
+# state-less buffers on the reference module that carry config, not weights
+_REF_BUFFERS = ("state_mean", "state_std", "action_mean", "action_std", "dt")
+
+
+def _np(x) -> np.ndarray:
+    """Coerce a torch tensor / array-like to a float numpy array."""
+    if hasattr(x, "detach"):  # torch.Tensor without importing torch
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def nl_params_from_state_dict(sd: Mapping[str, "np.ndarray"]) -> dict:
+    """Reference `NeuralLaplaceModel.state_dict()` -> our NL params pytree.
+
+    Accepts torch tensors or numpy arrays as values. Ignores the reference's
+    normalization/dt buffers (constructor config here, see module docstring).
+    Raises KeyError naming the first missing weight for malformed inputs.
+    """
+    import jax.numpy as jnp
+
+    sd = {k: _np(v) for k, v in sd.items()}
+    gru = [
+        {
+            "w_ih": jnp.asarray(sd[f"action_encoder.gru.weight_ih_l{layer}"].T),
+            "w_hh": jnp.asarray(sd[f"action_encoder.gru.weight_hh_l{layer}"].T),
+            "b_ih": jnp.asarray(sd[f"action_encoder.gru.bias_ih_l{layer}"]),
+            "b_hh": jnp.asarray(sd[f"action_encoder.gru.bias_hh_l{layer}"]),
+        }
+        for layer in range(_GRU_LAYERS)
+    ]
+    out = {
+        "w": jnp.asarray(sd["action_encoder.linear_out.weight"].T),
+        "b": jnp.asarray(sd["action_encoder.linear_out.bias"]),
+    }
+    mlp = [
+        {
+            "w": jnp.asarray(sd[f"laplace_rep_func.linear_tanh_stack.{i}.weight"].T),
+            "b": jnp.asarray(sd[f"laplace_rep_func.linear_tanh_stack.{i}.bias"]),
+        }
+        for i in _MLP_SLOTS
+    ]
+    return {"encoder": {"gru": gru, "out": out}, "laplace_rep": mlp}
+
+
+def nl_state_dict_from_params(
+    params: Mapping, norm=None, dt: float | None = None
+) -> Dict[str, np.ndarray]:
+    """Our NL params pytree -> reference-format state_dict (numpy values).
+
+    Pass ``norm`` (a models.base.NormStats) and ``dt`` to also emit the
+    reference's registered buffers so `load_state_dict` succeeds with
+    `strict=True` on a reference `NeuralLaplaceModel`; omit them to emit
+    weights only (load with ``strict=False``).
+    """
+    sd: Dict[str, np.ndarray] = {}
+    for layer, p in enumerate(params["encoder"]["gru"]):
+        sd[f"action_encoder.gru.weight_ih_l{layer}"] = _np(p["w_ih"]).T
+        sd[f"action_encoder.gru.weight_hh_l{layer}"] = _np(p["w_hh"]).T
+        sd[f"action_encoder.gru.bias_ih_l{layer}"] = _np(p["b_ih"])
+        sd[f"action_encoder.gru.bias_hh_l{layer}"] = _np(p["b_hh"])
+    sd["action_encoder.linear_out.weight"] = _np(params["encoder"]["out"]["w"]).T
+    sd["action_encoder.linear_out.bias"] = _np(params["encoder"]["out"]["b"])
+    for slot, p in zip(_MLP_SLOTS, params["laplace_rep"]):
+        sd[f"laplace_rep_func.linear_tanh_stack.{slot}.weight"] = _np(p["w"]).T
+        sd[f"laplace_rep_func.linear_tanh_stack.{slot}.bias"] = _np(p["b"])
+    if norm is not None:
+        sd["state_mean"] = _np(norm.state_mean)
+        sd["state_std"] = _np(norm.state_std)
+        sd["action_mean"] = _np(norm.action_mean)
+        sd["action_std"] = _np(norm.action_std)
+    if dt is not None:
+        sd["dt"] = np.asarray(dt)
+    return sd
+
+
+def nl_arch_from_state_dict(sd: Mapping[str, "np.ndarray"], state_dim: int) -> dict:
+    """Recover the architecture sizes a checkpoint was trained with.
+
+    Returns {"s_recon_terms", "hidden_units", "gru_in"} — the knobs that
+    must match between the checkpoint and `make_nl_model` or the forward
+    fails with an opaque shape error deep in the planner. Note the term
+    count is the EFFECTIVE node count (post CME-snap, w_nl.py:86-88): a
+    reference run configured as cme/17 stores a 15-term head, so build the
+    importing model with ilt_algorithm="cme", s_recon_terms=15 (the snap
+    is idempotent on valid orders).
+    """
+    head = _np(sd["laplace_rep_func.linear_tanh_stack.4.weight"])
+    trunk = _np(sd["laplace_rep_func.linear_tanh_stack.0.weight"])
+    gru_ih = _np(sd["action_encoder.gru.weight_ih_l0"])
+    terms = head.shape[0] // (2 * state_dim)
+    return {
+        "s_recon_terms": int(terms),
+        "hidden_units": int(trunk.shape[0]),
+        "gru_in": int(gru_ih.shape[1]),
+    }
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """`torch.load` a reference checkpoint file into a numpy state_dict.
+
+    The reference trainer saves bare state_dicts (train_utils.py:442,490);
+    a {"model_state_dict": ...} wrapper is unwrapped for convenience.
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "model_state_dict" in obj:
+        obj = obj["model_state_dict"]
+    return {k: _np(v) for k, v in obj.items()}

@@ -92,39 +92,10 @@ def _build_ref_model(ref_w_nl, ilt_algorithm: str, s_recon_terms: int):
 
 
 def _transplant(ref_model) -> dict:
-    """torch state_dict -> our pytree (models/common.py layouts).
+    """torch model -> our pytree, via the public interop mapping."""
+    from neurallaplacecontrol_tpu.interop import nl_params_from_state_dict
 
-    torch nn.GRU stores gate blocks row-stacked [3H, D] in (r, z, n) order
-    with separate ih/hh biases — exactly our `_gru_cell` convention, so the
-    mapping is a transpose per matrix and nothing else.
-    """
-    import jax.numpy as jnp
-
-    sd = {
-        k: np.asarray(v.detach().cpu().numpy(), dtype=np.float64)
-        for k, v in ref_model.state_dict().items()
-    }
-    gru = [
-        {
-            "w_ih": jnp.asarray(sd[f"action_encoder.gru.weight_ih_l{layer}"].T),
-            "w_hh": jnp.asarray(sd[f"action_encoder.gru.weight_hh_l{layer}"].T),
-            "b_ih": jnp.asarray(sd[f"action_encoder.gru.bias_ih_l{layer}"]),
-            "b_hh": jnp.asarray(sd[f"action_encoder.gru.bias_hh_l{layer}"]),
-        }
-        for layer in range(2)
-    ]
-    out = {
-        "w": jnp.asarray(sd["action_encoder.linear_out.weight"].T),
-        "b": jnp.asarray(sd["action_encoder.linear_out.bias"]),
-    }
-    mlp = [
-        {
-            "w": jnp.asarray(sd[f"laplace_rep_func.linear_tanh_stack.{i}.weight"].T),
-            "b": jnp.asarray(sd[f"laplace_rep_func.linear_tanh_stack.{i}.bias"]),
-        }
-        for i in (0, 2, 4)
-    ]
-    return {"encoder": {"gru": gru, "out": out}, "laplace_rep": mlp}
+    return nl_params_from_state_dict(ref_model.state_dict())
 
 
 def _build_ours(norm, ilt_algorithm: str, s_recon_terms: int):
@@ -248,6 +219,74 @@ def test_full_forward_parity(ref_w_nl, ilt_algorithm, terms):
         )
     )
     np.testing.assert_allclose(ours, ref_out, rtol=0, atol=1e-10)
+
+
+def test_state_dict_roundtrip(ref_w_nl):
+    """export(import(sd)) reproduces every reference weight bit-exactly and
+    `load_state_dict(strict=True)` accepts the emitted buffers."""
+    import torch
+
+    from neurallaplacecontrol_tpu.interop import (
+        nl_params_from_state_dict,
+        nl_state_dict_from_params,
+    )
+
+    ref, norm = _build_ref_model(ref_w_nl, "fourier", 33)
+    params = nl_params_from_state_dict(ref.state_dict())
+    sd_back = nl_state_dict_from_params(params, norm=norm, dt=DT)
+    ref.load_state_dict(
+        {k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd_back.items()}
+    )
+    for k, v in ref.state_dict().items():
+        np.testing.assert_array_equal(np.asarray(sd_back[k]), v.numpy(), err_msg=k)
+
+
+def test_torch_checkpoint_file_import(ref_w_nl, tmp_path):
+    """A reference-trainer-format .pt file (train_utils.py:442) imports into
+    params that reproduce the donor model's forward."""
+    import torch
+
+    from neurallaplacecontrol_tpu.interop import (
+        load_torch_state_dict,
+        nl_params_from_state_dict,
+    )
+
+    ref, norm = _build_ref_model(ref_w_nl, "fourier", 33)
+    path = tmp_path / "nl_ref.pt"
+    torch.save(ref.state_dict(), path)
+
+    params = nl_params_from_state_dict(load_torch_state_dict(str(path)))
+    model = _build_ours(norm, "fourier", 33)
+    rng = np.random.default_rng(4)
+    obs, acts, ts = _inputs(rng, 3)
+    ours = np.asarray(model.apply(params, obs, acts, ts))
+    # the file round-trip is lossless: forward equals the in-memory transplant
+    direct = np.asarray(model.apply(_transplant(ref), obs, acts, ts))
+    np.testing.assert_array_equal(ours, direct)
+
+    acts_n = (acts - norm.action_mean) / norm.action_std
+    with torch.no_grad():
+        ref_latent = ref.action_encoder(torch.from_numpy(acts_n)).numpy()
+    # encoder parity re-checked on the file path; full-forward parity above
+    encode = model.make_planner_window_encoder(params)
+    np.testing.assert_allclose(
+        np.asarray(encode(acts[:, None, :, :]))[:, 0, :], ref_latent, atol=1e-12
+    )
+
+
+def test_arch_recovery_from_state_dict(ref_w_nl):
+    """nl_arch_from_state_dict recovers the sizes needed to rebuild a
+    matching model — including the CME-snapped effective term count."""
+    from neurallaplacecontrol_tpu.interop import nl_arch_from_state_dict
+
+    for algo, req, eff in (("fourier", 33, 33), ("cme", 17, 15)):
+        ref, _ = _build_ref_model(ref_w_nl, algo, req)
+        arch = nl_arch_from_state_dict(ref.state_dict(), STATE_DIM)
+        assert arch == {
+            "s_recon_terms": eff,
+            "hidden_units": HIDDEN,
+            "gru_in": ACTION_DIM,
+        }, (algo, arch)
 
 
 def test_cme_term_snap_matches_reference(ref_w_nl):
