@@ -25,6 +25,14 @@ to f64 round-off against the reference's own torch modules):
 Functions take/return plain array mappings; torch is only needed by the
 caller to `torch.load` the file (`load_torch_state_dict` wraps that when
 torch is importable).
+
+Also covered: `rnn_params_from_state_dict` (reference RNN and DeltaTRNN,
+train_utils.py:552-631) and `node_params_from_state_dict` (reference NODE,
+train_utils.py:637-738). latent_ode is deliberately NOT mapped: our
+rebuild deviates architecturally from the vendored Rubanova stack (carried
+planner history, per-row horizons — see models/latent_ode.py), so a weight
+transplant would not reproduce the reference forward; retrain instead
+(minutes at the measured budgets, artifacts/baseline_parity/README.md).
 """
 
 from __future__ import annotations
@@ -130,6 +138,54 @@ def nl_arch_from_state_dict(sd: Mapping[str, "np.ndarray"], state_dim: int) -> d
         "s_recon_terms": int(terms),
         "hidden_units": int(trunk.shape[0]),
         "gru_in": int(gru_ih.shape[1]),
+    }
+
+
+def rnn_params_from_state_dict(sd: Mapping[str, "np.ndarray"]) -> dict:
+    """Reference `RNN` / `DeltaTRNN` state_dict -> our params pytree.
+
+    Both reference classes (train_utils.py:552-631) are a single-layer GRU
+    plus one linear head; the layout maps 1:1 onto models/rnn.py's
+    {"gru": [layer0], "out": {...}} (DeltaTRNN only differs by head width,
+    which the weights carry).
+    """
+    import jax.numpy as jnp
+
+    sd = {k: _np(v) for k, v in sd.items()}
+    return {
+        "gru": [
+            {
+                "w_ih": jnp.asarray(sd["gru.weight_ih_l0"].T),
+                "w_hh": jnp.asarray(sd["gru.weight_hh_l0"].T),
+                "b_ih": jnp.asarray(sd["gru.bias_ih_l0"]),
+                "b_hh": jnp.asarray(sd["gru.bias_hh_l0"]),
+            }
+        ],
+        "out": {
+            "w": jnp.asarray(sd["linear_out.weight"].T),
+            "b": jnp.asarray(sd["linear_out.bias"]),
+        },
+    }
+
+
+def node_params_from_state_dict(sd: Mapping[str, "np.ndarray"]) -> dict:
+    """Reference `NODE` state_dict -> our params pytree.
+
+    The learnable part is the vector-field MLP (train_utils.py:637-662);
+    solver settings are constructor config on both sides.
+    """
+    import jax.numpy as jnp
+
+    sd = {k: _np(v) for k, v in sd.items()}
+    prefix = "x_ode_func_in_x_and_u.linear_tanh_stack"
+    return {
+        "ode_func": [
+            {
+                "w": jnp.asarray(sd[f"{prefix}.{i}.weight"].T),
+                "b": jnp.asarray(sd[f"{prefix}.{i}.bias"]),
+            }
+            for i in _MLP_SLOTS
+        ]
     }
 
 

@@ -299,3 +299,158 @@ def test_cme_term_snap_matches_reference(ref_w_nl):
     for req in (3, 5, 9, 17, 33, 65, 101, 199):
         ref_n, _ = _build_ref_model(ref_w_nl, "cme", req)
         assert ref_n.s_recon_terms == snap_cme_terms(req), req
+
+
+# ---------------------------------------------------------------------------
+# rnn / delta_t_rnn / node: same transplant treatment against the reference's
+# own classes (train_utils.py:552-631 RNN/DeltaTRNN, :637-738 NODE),
+# extracted by ast exactly as artifacts/baseline_parity/ref_train_ode.py did.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_tu_classes():
+    torch = pytest.importorskip("torch")
+    import ast
+
+    src = (REF / "train_utils.py").read_text()
+    tree = ast.parse(src)
+    wanted = {"RNN", "DeltaTRNN", "xOdeFuncInXAndU", "NODE"}
+    nodes = [n for n in tree.body if isinstance(n, ast.ClassDef) and n.name in wanted]
+    assert {n.name for n in nodes} == wanted
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "artifacts" / "baseline_parity"))
+    try:
+        import tdeq_shim
+    finally:
+        sys.path.pop(0)
+
+    ns = {
+        "torch": torch,
+        "nn": torch.nn,
+        "np": np,
+        "odeint": tdeq_shim.odeint,
+        "device": torch.device("cpu"),
+    }
+    exec(  # noqa: S102 - running the read-only reference's own classes
+        compile(ast.Module(body=nodes, type_ignores=[]), "<ref train_utils.py>", "exec"),
+        ns,
+    )
+    return ns
+
+
+def _norm():
+    from neurallaplacecontrol_tpu.models.base import norm_stats_for
+
+    return norm_stats_for("oderl-cartpole", action_high=3.0, action_dim=ACTION_DIM)
+
+
+# The reference constructs models under torch's default f32 dtype
+# (overlay.py:12) and only then calls .double() (train_utils.py:267), so its
+# registered `dt` buffer is the f32-rounded 0.05000000074505806 — a ~1.5e-8
+# relative offset on every normalized horizon. We keep the exact dt in the
+# framework (pure rescaling, behaviorally irrelevant) and feed the rounded
+# value to OUR builder here so the f64 comparison is exact.
+REF_DT32 = float(np.float32(DT))
+
+
+@pytest.mark.parametrize("family", ["rnn", "delta_t_rnn"])
+def test_rnn_family_forward_parity(ref_tu_classes, family):
+    """Transplanted reference RNN/DeltaTRNN forward matches ours to f64
+    round-off (normalize=normalize_time=True, the shipped config — the
+    reference's dangling-else quirk at train_utils.py:621-629 is inert)."""
+    import jax.numpy as jnp
+    import torch
+
+    from neurallaplacecontrol_tpu.interop import rnn_params_from_state_dict
+    from neurallaplacecontrol_tpu.models.rnn import (
+        make_delta_t_rnn_model,
+        make_rnn_model,
+    )
+
+    norm = _norm()
+    torch.manual_seed(11)
+    kw = dict(
+        hidden_units=160,
+        encode_obs_time=False,
+        state_mean=norm.state_mean,
+        state_std=norm.state_std,
+        action_mean=norm.action_mean,
+        action_std=norm.action_std,
+        normalize=True,
+    )
+    if family == "rnn":
+        ref = ref_tu_classes["RNN"](STATE_DIM, ACTION_DIM, **kw).double()
+        model = make_rnn_model(
+            STATE_DIM, ACTION_DIM, norm, hidden_units=160, dtype=jnp.float64
+        )
+    else:
+        ref = ref_tu_classes["DeltaTRNN"](
+            STATE_DIM, ACTION_DIM, normalize_time=True, dt=DT, **kw
+        ).double()
+        model = make_delta_t_rnn_model(
+            STATE_DIM, ACTION_DIM, norm, hidden_units=160,
+            normalize_time=True, dt=REF_DT32, dtype=jnp.float64,
+        )
+    params = rnn_params_from_state_dict(ref.state_dict())
+
+    rng = np.random.default_rng(12)
+    obs, acts, ts = _inputs(rng, 9)
+    ours = np.asarray(model.apply(params, obs, acts, ts))
+    with torch.no_grad():
+        theirs = ref(
+            torch.from_numpy(obs), torch.from_numpy(acts), torch.from_numpy(ts)
+        ).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=0, atol=1e-12)
+
+
+def test_node_forward_parity(ref_tu_classes):
+    """Transplanted reference NODE forward matches ours.
+
+    Horizon chosen so the normalized integration interval is an exact
+    multiple of the Euler step (0.1 = 2 x 0.05): there the shim's
+    equal-substep grid and our full-steps-plus-partial-final grid coincide,
+    isolating the weight/normalization/augment semantics under test from
+    the (separately tested) substep-grid convention.
+    """
+    import torch
+
+    from neurallaplacecontrol_tpu.interop import node_params_from_state_dict
+    from neurallaplacecontrol_tpu.models.node import make_node_model
+
+    norm = _norm()
+    torch.manual_seed(13)
+    ref = ref_tu_classes["NODE"](
+        STATE_DIM,
+        ACTION_DIM,
+        latent_dim=STATE_DIM,
+        hidden_units=270,
+        encode_obs_time=False,
+        state_mean=norm.state_mean,
+        state_std=norm.state_std,
+        action_mean=norm.action_mean,
+        action_std=norm.action_std,
+        normalize=True,
+        normalize_time=True,
+        method="euler",
+        augment_dim=1,
+        action_high=3.0,
+        dt=DT,
+    ).double()
+    import jax.numpy as jnp
+
+    model = make_node_model(
+        STATE_DIM, ACTION_DIM, norm, hidden_units=270, augment_dim=1,
+        normalize=True, normalize_time=True, dt=REF_DT32, dtype=jnp.float64,
+    )
+    params = node_params_from_state_dict(ref.state_dict())
+
+    rng = np.random.default_rng(14)
+    obs, acts, _ = _inputs(rng, 9)
+    ts = np.full((9, 1), 0.1 * REF_DT32 * 8.0)  # normalized horizon = 0.1
+    ours = np.asarray(model.apply(params, obs, acts, ts))
+    with torch.no_grad():
+        theirs = ref(
+            torch.from_numpy(obs), torch.from_numpy(acts), torch.from_numpy(ts)
+        ).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=0, atol=1e-12)
