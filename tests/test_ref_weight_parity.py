@@ -301,6 +301,67 @@ def test_cme_term_snap_matches_reference(ref_w_nl):
         assert ref_n.s_recon_terms == snap_cme_terms(req), req
 
 
+def test_trained_checkpoint_exports_to_reference(ref_w_nl):
+    """The SHIPPED trained flagship exports into the reference's own torch
+    class and reproduces our forward at realistic weight magnitudes (the
+    other parity tests use fresh inits; trained NL weights live on very
+    different scales — see the pole-scale landmine in CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from neurallaplacecontrol_tpu.interop import nl_state_dict_from_params
+    from neurallaplacecontrol_tpu.models.nl import make_nl_model
+    from neurallaplacecontrol_tpu.utils.checkpoint import (
+        load_pytree,
+        model_checkpoint_name,
+    )
+
+    norm = _norm()
+    model = _build_ours(norm, "fourier", 17)
+    ckpt = pathlib.Path("saved_models") / model_checkpoint_name(
+        "nl", "oderl-cartpole", 1, "exp", 0, True
+    )
+    if not ckpt.exists():
+        pytest.skip("shipped flagship checkpoint not present")
+    params = load_pytree(str(ckpt), model.init(jax.random.PRNGKey(0)))
+    params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float64), params)
+
+    sd = nl_state_dict_from_params(params, norm=norm, dt=DT)
+    ref, _ = _build_ref_model(ref_w_nl, "fourier", 17)
+    ref.load_state_dict(
+        {k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()}
+    )
+
+    rng = np.random.default_rng(5)
+    obs, acts, ts = _inputs(rng, 6)
+    ours = np.asarray(model.apply(params, obs, acts, ts))
+
+    obs_n = (obs - norm.state_mean) / norm.state_std
+    acts_n = (acts - norm.action_mean) / norm.action_std
+    with torch.no_grad():
+        p_action = ref.action_encoder(torch.from_numpy(acts_n)).numpy()
+    p = np.concatenate([obs_n, p_action], axis=-1)
+
+    from neurallaplacecontrol_tpu.ops.ilt import laplace_reconstruct
+
+    def torch_rep_fn(theta_s, phi_s, p_in):
+        i = np.concatenate(
+            [np.asarray(theta_s), np.asarray(phi_s), np.asarray(p_in)], axis=-1
+        )
+        with torch.no_grad():
+            theta, phi = ref.laplace_rep_func(torch.from_numpy(i))
+        return jnp.asarray(theta.numpy()), jnp.asarray(phi.numpy())
+
+    ref_out = np.asarray(
+        laplace_reconstruct(
+            torch_rep_fn, p, ts[:, 0] / (DT * 8.0), recon_dim=STATE_DIM,
+            algorithm="fourier", terms=17,
+        )
+    )
+    np.testing.assert_allclose(ours, ref_out, rtol=0, atol=1e-10)
+
+
 # ---------------------------------------------------------------------------
 # rnn / delta_t_rnn / node: same transplant treatment against the reference's
 # own classes (train_utils.py:552-631 RNN/DeltaTRNN, :637-738 NODE),
