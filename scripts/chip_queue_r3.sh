@@ -50,7 +50,11 @@ print(json.dumps({"best_overrides": [t for t in trials if t["best"]][0]["overrid
                   "trials": trials}))
 EOF
 
-# 4. serving latency demo with native tick telemetry on the chip
+# 4. real-chip test suite at HEAD (fused-kernel accuracy, serving witness)
+run tpu_tests 3600 env NLC_TPU_TESTS=1 python -m pytest tests -m tpu -q \
+  2>&1 | tee "$ART/tpu_tests_r3.log"
+
+# 5. serving latency demo with native tick telemetry on the chip
 # (ring capacity bounds the checked-in artifact to ~128 KB)
 run serve 2400 python scripts/serve_demo.py --ticks 300 \
   --ticklog "$ART/serve_ticks_r3.tlog" --ticklog_capacity 4096 \
