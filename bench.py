@@ -76,12 +76,55 @@ def nl_forward_flops(model, params, spec, config, batch=1000):
     return float(analytic), "analytic"
 
 
+def _probe_devices(budget_s: float = 300.0):
+    """Touch the backend with a wall-clock bound.
+
+    The axon TPU tunnel can be down for hours at a stretch; first device use
+    then blocks indefinitely inside the plugin. The contract here is ONE
+    JSON line no matter what, so probe on a daemon thread and emit an
+    honest error record instead of hanging the driver.
+    """
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            result["devices"] = [str(d) for d in jax.devices()]
+        except Exception as e:  # noqa: BLE001 — reported in the JSON line
+            result["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(budget_s)
+    if "devices" in result:
+        return
+    import os
+
+    print(
+        json.dumps(
+            {
+                "metric": "nl_mppi_rollouts_per_sec",
+                "value": 0.0,
+                "unit": "rollouts/s (K=1000,T=40 NL-dynamics MPPI, 8 vmapped full episodes)",
+                "vs_baseline": 0.0,
+                "error": result.get(
+                    "error", f"device init exceeded {budget_s:.0f}s (TPU tunnel down?)"
+                ),
+            }
+        ),
+        flush=True,
+    )
+    os._exit(1)
+
+
 def main():
     from neurallaplacecontrol_tpu.config import Config
     from neurallaplacecontrol_tpu.envs import make_env
     from neurallaplacecontrol_tpu.models import make_model
     from neurallaplacecontrol_tpu.training import evaluate_policy
 
+    _probe_devices()
     config = Config()
     env_name = "oderl-cartpole"
     spec = make_env(env_name, dt=config.dt).spec
