@@ -20,6 +20,8 @@ import jax
 
 BASELINE_ROLLOUTS_PER_SEC = 10_000.0  # BASELINE.md north-star for one v5e
 V5E_PEAK_BF16_FLOPS = 1.97e14  # one v5e chip, 197 TFLOP/s bf16 (public spec)
+METRIC = "nl_mppi_rollouts_per_sec"
+UNIT = "rollouts/s (K=1000,T=40 NL-dynamics MPPI, 8 vmapped full episodes)"
 
 
 def nl_forward_flops_analytic(n_obs, m_act, *, terms=17, hidden=128, buf=4):
@@ -104,9 +106,9 @@ def _probe_devices(budget_s: float = 300.0):
     print(
         json.dumps(
             {
-                "metric": "nl_mppi_rollouts_per_sec",
+                "metric": METRIC,
                 "value": 0.0,
-                "unit": "rollouts/s (K=1000,T=40 NL-dynamics MPPI, 8 vmapped full episodes)",
+                "unit": UNIT,
                 "vs_baseline": 0.0,
                 "error": result.get(
                     "error", f"device init exceeded {budget_s:.0f}s (TPU tunnel down?)"
@@ -174,9 +176,9 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "nl_mppi_rollouts_per_sec",
+                "metric": METRIC,
                 "value": round(rollouts_per_sec, 1),
-                "unit": "rollouts/s (K=1000,T=40 NL-dynamics MPPI, 8 vmapped full episodes)",
+                "unit": UNIT,
                 "vs_baseline": round(rollouts_per_sec / BASELINE_ROLLOUTS_PER_SEC, 3),
                 "nl_forward_flops": round(flops_fwd),
                 "nl_forward_flops_source": flops_src,

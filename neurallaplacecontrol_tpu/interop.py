@@ -44,9 +44,6 @@ import numpy as np
 _GRU_LAYERS = 2  # reference w_nl.py:21 (nn.GRU(..., 2, batch_first=True))
 _MLP_SLOTS = (0, 2, 4)  # Linear positions inside the linear_tanh_stack
 
-# state-less buffers on the reference module that carry config, not weights
-_REF_BUFFERS = ("state_mean", "state_std", "action_mean", "action_std", "dt")
-
 
 def _np(x) -> np.ndarray:
     """Coerce a torch tensor / array-like to a float numpy array."""
@@ -119,23 +116,38 @@ def nl_state_dict_from_params(
     return sd
 
 
-def nl_arch_from_state_dict(sd: Mapping[str, "np.ndarray"], state_dim: int) -> dict:
-    """Recover the architecture sizes a checkpoint was trained with.
+def nl_arch_from_state_dict(
+    sd: Mapping[str, "np.ndarray"], state_dim: int, ilt_algorithm: str = "fourier"
+) -> dict:
+    """Recover the `make_nl_model` kwargs a checkpoint was trained with.
 
     Returns {"s_recon_terms", "hidden_units", "gru_in"} — the knobs that
     must match between the checkpoint and `make_nl_model` or the forward
-    fails with an opaque shape error deep in the planner. Note the term
-    count is the EFFECTIVE node count (post CME-snap, w_nl.py:86-88): a
-    reference run configured as cme/17 stores a 15-term head, so build the
-    importing model with ilt_algorithm="cme", s_recon_terms=15 (the snap
-    is idempotent on valid orders).
+    fails with an opaque shape error deep in the planner.
+
+    ``s_recon_terms`` is the value to PASS to the constructor for the given
+    ``ilt_algorithm`` (the one the checkpoint was trained with — it is not
+    recoverable from the weights). The head stores the EFFECTIVE node count
+    (post CME-snap, w_nl.py:86-88), and the snap always steps the valid-term
+    table back by two entries — it is NOT idempotent — so for "cme" the
+    returned request is the table entry two places AFTER the stored count
+    (a cme/17 reference run stores a 15-term head and must be re-requested
+    as 17; tests/test_ref_weight_parity.py round-trips this).
     """
     head = _np(sd["laplace_rep_func.linear_tanh_stack.4.weight"])
     trunk = _np(sd["laplace_rep_func.linear_tanh_stack.0.weight"])
     gru_ih = _np(sd["action_encoder.gru.weight_ih_l0"])
-    terms = head.shape[0] // (2 * state_dim)
+    terms = int(head.shape[0] // (2 * state_dim))
+    if ilt_algorithm == "cme":
+        from .config import cme_reconstruction_terms
+
+        table = cme_reconstruction_terms()
+        idx = table.index(terms)  # ValueError = head size is no CME order
+        if idx + 2 >= len(table):
+            raise ValueError(f"CME head of {terms} terms exceeds the valid table")
+        terms = table[idx + 2]
     return {
-        "s_recon_terms": int(terms),
+        "s_recon_terms": terms,
         "hidden_units": int(trunk.shape[0]),
         "gru_in": int(gru_ih.shape[1]),
     }

@@ -62,6 +62,10 @@ def ref_w_nl():
         import w_nl  # noqa: F401  (imports reference config too)
     finally:
         sys.path.remove(str(REF))
+        # don't leak the reference's top-level modules into the rest of the
+        # pytest session — 'config' especially is a collision-prone name
+        sys.modules.pop("w_nl", None)
+        sys.modules.pop("config", None)
     return w_nl
 
 
@@ -275,18 +279,29 @@ def test_torch_checkpoint_file_import(ref_w_nl, tmp_path):
 
 
 def test_arch_recovery_from_state_dict(ref_w_nl):
-    """nl_arch_from_state_dict recovers the sizes needed to rebuild a
-    matching model — including the CME-snapped effective term count."""
-    from neurallaplacecontrol_tpu.interop import nl_arch_from_state_dict
+    """nl_arch_from_state_dict returns constructor kwargs that actually
+    round-trip: a model built from them accepts the imported weights and
+    runs. For cme this means UN-snapping the stored head size (the snap
+    steps the valid-term table back by two — it is not idempotent, so a
+    cme/17 checkpoint stores 15 terms and must be re-requested as 17)."""
+    from neurallaplacecontrol_tpu.interop import (
+        nl_arch_from_state_dict,
+        nl_params_from_state_dict,
+    )
 
-    for algo, req, eff in (("fourier", 33, 33), ("cme", 17, 15)):
-        ref, _ = _build_ref_model(ref_w_nl, algo, req)
-        arch = nl_arch_from_state_dict(ref.state_dict(), STATE_DIM)
+    rng = np.random.default_rng(6)
+    obs, acts, ts = _inputs(rng, 3)
+    for algo, req, expect_req in (("fourier", 33, 33), ("cme", 17, 17)):
+        ref, norm = _build_ref_model(ref_w_nl, algo, req)
+        arch = nl_arch_from_state_dict(ref.state_dict(), STATE_DIM, algo)
         assert arch == {
-            "s_recon_terms": eff,
+            "s_recon_terms": expect_req,
             "hidden_units": HIDDEN,
             "gru_in": ACTION_DIM,
         }, (algo, arch)
+        model = _build_ours(norm, algo, arch["s_recon_terms"])
+        out = model.apply(nl_params_from_state_dict(ref.state_dict()), obs, acts, ts)
+        assert np.isfinite(np.asarray(out)).all(), algo
 
 
 def test_cme_term_snap_matches_reference(ref_w_nl):
@@ -319,8 +334,10 @@ def test_trained_checkpoint_exports_to_reference(ref_w_nl):
 
     norm = _norm()
     model = _build_ours(norm, "fourier", 17)
-    ckpt = pathlib.Path("saved_models") / model_checkpoint_name(
-        "nl", "oderl-cartpole", 1, "exp", 0, True
+    ckpt = (
+        pathlib.Path(__file__).parent.parent
+        / "saved_models"
+        / model_checkpoint_name("nl", "oderl-cartpole", 1, "exp", 0, True)
     )
     if not ckpt.exists():
         pytest.skip("shipped flagship checkpoint not present")
