@@ -54,7 +54,14 @@ EOF
 run tpu_tests 3600 env NLC_TPU_TESTS=1 python -m pytest tests -m tpu -q \
   2>&1 | tee "$ART/tpu_tests_r3.log"
 
-# 5. serving latency demo with native tick telemetry on the chip
+# 5. int8 planner experiment: big-K throughput vs f32/bf16 + on-chip quality
+run int8_perf 3600 python scripts/bench_int8.py --mode perf \
+  --ks 16384,65536,262144 --t 40 --iters 20 \
+  | tee "$ART/bench_int8_perf_r3.jsonl"
+run int8_quality 3600 python scripts/bench_int8.py --mode quality \
+  --k 1000 --t 40 --seeds 4 | tee "$ART/int8_quality_tpu_r3.json"
+
+# 6. serving latency demo with native tick telemetry on the chip
 # (ring capacity bounds the checked-in artifact to ~128 KB)
 run serve 2400 python scripts/serve_demo.py --ticks 300 \
   --ticklog "$ART/serve_ticks_r3.tlog" --ticklog_capacity 4096 \
