@@ -130,6 +130,24 @@ def test_int8_dot_hits_int32_accumulator():
     assert dots and dots[0].params["preferred_element_type"] == jnp.int32
 
 
+def test_int8_composes_with_k_sharded_planner(flagship):
+    """The int8 apply runs under the K-sharded planner on the 8-device
+    mesh (evaluate_policy(shard_rollouts=True)) — the multi-chip big-K
+    regime is exactly where the int8 experiment targets deployment."""
+    from neurallaplacecontrol_tpu.ops.quant import quantized_apply_for
+    from neurallaplacecontrol_tpu.training.eval import evaluate_policy
+
+    cfg, spec, model, params = flagship
+    del model
+    qapply = quantized_apply_for("nl", ENV, params, cfg, spec, fold_t=float(cfg.dt))
+    res = evaluate_policy(
+        "nl", ENV, DELAY, seeds=(0,), config=cfg,
+        model_apply=qapply, params=params,
+        roll_outs=64, time_steps=5, shard_rollouts=True,
+    )
+    assert np.isfinite(res["total_reward"]), res["total_reward"]
+
+
 def test_quantized_apply_rejects_encode_obs_time(flagship):
     from dataclasses import replace
 
