@@ -74,17 +74,23 @@ def gru_init(key, in_dim: int, hidden: int, num_layers: int = 1, dtype=jnp.float
     return params
 
 
-def _gru_cell(p, h, x):
-    hidden = h.shape[-1]
-    gi = x @ p["w_ih"] + p["b_ih"]
-    gh = h @ p["w_hh"] + p["b_hh"]
+def gru_gates(gi, gh, h):
+    """Gate nonlinearity shared by every GRU cell implementation (r/z/n
+    block order; torch semantics — the candidate's hidden path is gated by
+    reset AFTER the hidden matmul + ITS OWN bias). ops/quant.py's int8 cell
+    reuses this so the gate math has exactly one home."""
     i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
     h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
     r = jax.nn.sigmoid(i_r + h_r)
     z = jax.nn.sigmoid(i_z + h_z)
     n = jnp.tanh(i_n + r * h_n)
-    del hidden
     return (1.0 - z) * n + z * h
+
+
+def _gru_cell(p, h, x):
+    gi = x @ p["w_ih"] + p["b_ih"]
+    gh = h @ p["w_hh"] + p["b_hh"]
+    return gru_gates(gi, gh, h)
 
 
 def gru_apply(params, xs, unroll_limit: int = 8):

@@ -55,6 +55,18 @@ def _int8_matmul(xq: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray, b):
     return y.astype(jnp.float32) * scale + b
 
 
+def _q_linear(x: jnp.ndarray, in_bounds, wq, scale, b) -> jnp.ndarray:
+    """Quantize-activations + int8 matmul, with NaN propagation.
+
+    int8 casting of NaN would otherwise silently produce a finite value,
+    letting a diverged rollout (f32 path: NaN poisons everything) return
+    ordinary-looking outputs from the int8 path. The 0*sum term is NaN iff
+    any input element is, and fuses into the quantization elementwise pass.
+    """
+    y = _int8_matmul(_quantize_acts(x, in_bounds), wq, scale, b)
+    return y + 0.0 * jnp.sum(x, axis=-1, keepdims=True)
+
+
 def _linear_l1_bounds(p: Mapping, in_bounds: jnp.ndarray) -> jnp.ndarray:
     """Per-output analytic bound |y_j| <= sum_i |w_ij| b_i + |b_j|."""
     return jnp.abs(p["w"]).T @ in_bounds + jnp.abs(p["b"])
@@ -134,19 +146,11 @@ def quantize_nl_params(
 
 
 def _gru_cell_q(p, h, x):
-    import jax
+    from ..models.common import gru_gates
 
-    gi = _int8_matmul(_quantize_acts(x, p["in_bounds"]), p["wq_ih"], p["s_ih"], p["b_ih"])
-    gh = _int8_matmul(
-        jnp.round(jnp.clip(h, -1.0, 1.0) * 127.0).astype(jnp.int8),
-        p["wq_hh"], p["s_hh"], p["b_hh"],
-    )
-    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
-    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
-    r = jax.nn.sigmoid(i_r + h_r)
-    z = jax.nn.sigmoid(i_z + h_z)
-    n = jnp.tanh(i_n + r * h_n)
-    return (1.0 - z) * n + z * h
+    gi = _q_linear(x, p["in_bounds"], p["wq_ih"], p["s_ih"], p["b_ih"])
+    gh = _q_linear(h, 1.0, p["wq_hh"], p["s_hh"], p["b_hh"])  # |h| < 1
+    return gru_gates(gi, gh, h)
 
 
 def make_int8_nl_apply(
@@ -184,8 +188,7 @@ def make_int8_nl_apply(
     else. The returned apply then IGNORES its ts argument (like
     make_fused_planner_apply); re-specialize for a different horizon.
     """
-    from ..ops.ilt import ilt_query_points, laplace_reconstruct
-    from ..ops.sphere import complex_to_spherical
+    from ..ops.ilt import laplace_reconstruct
 
     state_mean = jnp.asarray(norm.state_mean, jnp.float32)
     state_std = jnp.asarray(norm.state_std, jnp.float32)
@@ -195,11 +198,24 @@ def make_int8_nl_apply(
     t_floor = 2.5e-3 if (normalize and normalize_time) else 2.5e-3 * dt * 8.0
     folded = None
     if fold_t is not None:
+        assert ilt_algorithm == "fourier", "fold_t is fourier-only (like pack_nl_forward)"
         t_model = fold_t / (dt * 8.0) if (normalize and normalize_time) else fold_t
         t_model = max(float(t_model), t_floor)
-        s = ilt_query_points(jnp.asarray(t_model, jnp.float32), s_recon_terms, ilt_algorithm)
-        th_s, ph_s = complex_to_spherical(s)
-        tp = jnp.concatenate([th_s, ph_s]).astype(jnp.float32)  # [2*terms]
+        # host-side numpy mirror of ops.ilt._fourier_nodes +
+        # ops.sphere.complex_to_spherical (as in ops/pallas_nl.py:126-133):
+        # the experimental TPU backend rejects EAGER complex ops, and this
+        # fold happens at specialization time, outside any jit
+        import math
+
+        from ..ops.ilt import _FOURIER_ALPHA, _FOURIER_EPS, _FOURIER_SCALE
+
+        T_c = _FOURIER_SCALE * t_model
+        sigma = _FOURIER_ALPHA - math.log(_FOURIER_EPS) / T_c
+        omega = np.pi * np.arange(s_recon_terms) / T_c
+        th_s = np.arctan2(omega, sigma)
+        mag2 = sigma * sigma + omega * omega
+        ph_s = np.arcsin(np.clip((mag2 - 1.0) / (mag2 + 1.0), -1.0, 1.0))
+        tp = jnp.asarray(np.concatenate([th_s, ph_s]), jnp.float32)  # [2*terms]
         l0 = qparams["mlp"][0]
         w0 = l0["w"]
         # exact fold: [tp, p] @ w0 + b0 == p @ w0[2T:] + (b0 + tp @ w0[:2T])
@@ -215,8 +231,8 @@ def make_int8_nl_apply(
     def rep_fn(theta_s, phi_s, p):
         if folded is not None:
             if 0 in mlp_int8_layers:
-                x = _int8_matmul(
-                    _quantize_acts(p.astype(jnp.float32), folded["in_bounds"]),
+                x = _q_linear(
+                    p.astype(jnp.float32), folded["in_bounds"],
                     folded["wq"], folded["s"], folded["b"],
                 )
             else:
@@ -228,10 +244,7 @@ def make_int8_nl_apply(
             layers = list(enumerate(qparams["mlp"]))
         for i, layer in layers:
             if i in mlp_int8_layers:
-                x = _int8_matmul(
-                    _quantize_acts(x, layer["in_bounds"]),
-                    layer["wq"], layer["s"], layer["b"],
-                )
+                x = _q_linear(x, layer["in_bounds"], layer["wq"], layer["s"], layer["b"])
             else:
                 x = x @ layer["w"] + layer["b"]
             if i < len(qparams["mlp"]) - 1:
@@ -257,9 +270,7 @@ def make_int8_nl_apply(
                     hs[li] = _gru_cell_q(p, hs[li], x)
                     x = hs[li]
             eo = qparams["enc_out"]
-            p_action = _int8_matmul(
-                _quantize_acts(hs[-1], eo["in_bounds"]), eo["wq"], eo["s"], eo["b"]
-            )
+            p_action = _q_linear(hs[-1], eo["in_bounds"], eo["wq"], eo["s"], eo["b"])
         else:
             from ..models.common import gru_apply, linear_apply
 

@@ -117,18 +117,19 @@ def mode_perf(args):
     ckpt = "saved_models/" + model_checkpoint_name(
         "nl", args.env, args.delay, "exp", 0, True
     )
-    for K in (int(k) for k in args.ks.split(",")):
-        variants = {}
-        for dtype in ("float32", "bfloat16"):
-            cfg = Config(nl_compute_dtype=dtype)
-            model = make_model("nl", args.env, spec.n_obs, spec.m, spec.action_high, cfg)
-            params = load_pytree(ckpt, model.init(jax.random.PRNGKey(0)))
-            variants[dtype] = (model.apply, params)
-        qapply = quantized_apply_for(
-            "nl", args.env, variants["float32"][1], base, spec, fold_t=float(base.dt)
-        )
-        variants["int8_fold"] = (qapply, variants["float32"][1])
+    # variant construction is K-invariant: load/quantize once, sweep K after
+    variants = {}
+    for dtype in ("float32", "bfloat16"):
+        cfg = Config(nl_compute_dtype=dtype)
+        model = make_model("nl", args.env, spec.n_obs, spec.m, spec.action_high, cfg)
+        params = load_pytree(ckpt, model.init(jax.random.PRNGKey(0)))
+        variants[dtype] = (model.apply, params)
+    qapply = quantized_apply_for(
+        "nl", args.env, variants["float32"][1], base, spec, fold_t=float(base.dt)
+    )
+    variants["int8_fold"] = (qapply, variants["float32"][1])
 
+    for K in (int(k) for k in args.ks.split(",")):
         mcfg = MPPIConfig(
             num_samples=K, horizon=args.t, nu=spec.m, lambda_=base.mppi_lambda,
             u_scale=spec.action_high, u_min=-spec.action_high, u_max=spec.action_high,
