@@ -148,6 +148,30 @@ def test_int8_composes_with_k_sharded_planner(flagship):
     assert np.isfinite(res["total_reward"]), res["total_reward"]
 
 
+def test_int8_serving_controller_ticks(flagship):
+    """The int8 apply drives the deployment Controller (serving.py):
+    reset + 3 planner ticks produce finite in-range actions."""
+    import jax
+    import numpy as np
+
+    from neurallaplacecontrol_tpu.ops.quant import quantized_apply_for
+    from neurallaplacecontrol_tpu.serving import make_controller
+
+    cfg, spec, model, params = flagship
+    del model
+    qapply = quantized_apply_for("nl", ENV, params, cfg, spec, fold_t=float(cfg.dt))
+    ctrl = make_controller(
+        "nl", ENV, DELAY, config=cfg, model_apply=qapply, params=params,
+        roll_outs=64, time_steps=5,
+    )
+    state = ctrl.reset(jax.random.PRNGKey(0))
+    obs = np.zeros((spec.n_obs,), np.float32)
+    for _ in range(3):
+        action, state = ctrl.step(state, obs)
+        a = np.asarray(action)
+        assert np.isfinite(a).all() and (np.abs(a) <= spec.action_high + 1e-6).all()
+
+
 def test_quantized_apply_rejects_encode_obs_time(flagship):
     from dataclasses import replace
 
