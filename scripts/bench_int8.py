@@ -124,10 +124,20 @@ def mode_perf(args):
         model = make_model("nl", args.env, spec.n_obs, spec.m, spec.action_high, cfg)
         params = load_pytree(ckpt, model.init(jax.random.PRNGKey(0)))
         variants[dtype] = (model.apply, params)
-    qapply = quantized_apply_for(
-        "nl", args.env, variants["float32"][1], base, spec, fold_t=float(base.dt)
+    params_f32 = variants["float32"][1]
+    # control variant: the exact theta/phi fold WITHOUT int8 — separates the
+    # fold's own contribution from the int8 matmuls in the comparison
+    variants["f32_fold"] = (
+        quantized_apply_for(
+            "nl", args.env, params_f32, base, spec,
+            quantize_gru=False, mlp_int8_layers=(), fold_t=float(base.dt),
+        ),
+        params_f32,
     )
-    variants["int8_fold"] = (qapply, variants["float32"][1])
+    variants["int8_fold"] = (
+        quantized_apply_for("nl", args.env, params_f32, base, spec, fold_t=float(base.dt)),
+        params_f32,
+    )
 
     for K in (int(k) for k in args.ks.split(",")):
         mcfg = MPPIConfig(
