@@ -75,6 +75,27 @@ def _fourier_nodes(t: jnp.ndarray, terms: int) -> jnp.ndarray:
     return sigma[..., None].astype(cdtype) + 1j * omega.astype(cdtype)
 
 
+def fourier_spherical_host(t_model: float, terms: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-numpy fourier contour at a SHARED query time, in spherical coords.
+
+    Returns (theta_s, phi_s) float32 [terms] — the same values as
+    ``complex_to_spherical(_fourier_nodes(t, terms))`` for scalar ``t``, but
+    computed outside jit: the experimental TPU backend rejects EAGER complex
+    ops, and the planner-specialization folds (ops/pallas_nl.pack_nl_forward,
+    ops/quant.make_int8_nl_apply) run at pack time on the host. This is the
+    ONE copy of that math — a contour or sphere-clipping change lands in every
+    fold through here.
+    """
+    T = _FOURIER_SCALE * float(t_model)
+    sigma = _FOURIER_ALPHA - math.log(_FOURIER_EPS) / T
+    omega = np.pi * np.arange(terms) / T
+    theta_s = np.arctan2(omega, sigma).astype(np.float32)
+    mag2 = sigma * sigma + omega * omega
+    # mirror of ops.sphere.complex_to_spherical: phi = arcsin((|s|^2-1)/(|s|^2+1))
+    phi_s = np.arcsin(np.clip((mag2 - 1.0) / (mag2 + 1.0), -1.0, 1.0)).astype(np.float32)
+    return theta_s, phi_s
+
+
 def _fourier_combine(F: jnp.ndarray, t: jnp.ndarray, terms: int) -> jnp.ndarray:
     """F: [..., terms] complex at the fourier nodes -> f(t): [...] real."""
     t = _tsafe(t)

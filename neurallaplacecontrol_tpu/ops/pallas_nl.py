@@ -93,9 +93,7 @@ def pack_nl_forward(
     Everything here is host-side numpy: the experimental TPU backend does
     not implement eager complex ops, and pack time is setup, not compute.
     """
-    import math
-
-    from .ilt import _FOURIER_ALPHA, _FOURIER_EPS, _FOURIER_SCALE
+    from .ilt import fourier_spherical_host
 
     gru = params["encoder"]["gru"]
     assert len(gru) == 2, "NL encoder is a 2-layer GRU (w_nl.py:21)"
@@ -124,13 +122,8 @@ def pack_nl_forward(
     assert w1.shape[0] == 2 * terms + L
 
     # fourier contour s_k = sigma + i k pi / T at the shared query time
-    # (numpy mirror of ops.ilt._fourier_nodes + ops.sphere.complex_to_spherical)
-    T_c = _FOURIER_SCALE * float(t_model)
-    sigma = _FOURIER_ALPHA - math.log(_FOURIER_EPS) / T_c
-    omega = np.pi * np.arange(terms) / T_c
-    theta_s = np.arctan2(omega, sigma).astype(np.float32)
-    mag2 = sigma * sigma + omega * omega
-    phi_s = np.arcsin(np.clip((mag2 - 1.0) / (mag2 + 1.0), -1.0, 1.0)).astype(np.float32)
+    # (one shared host-side copy of that math: ops.ilt.fourier_spherical_host)
+    theta_s, phi_s = fourier_spherical_host(float(t_model), terms)
     b1 = b1 + theta_s @ w1[:terms] + phi_s @ w1[terms : 2 * terms]
 
     w1_obs = w1[2 * terms : 2 * terms + state_dim].copy()

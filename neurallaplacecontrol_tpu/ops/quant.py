@@ -201,20 +201,9 @@ def make_int8_nl_apply(
         assert ilt_algorithm == "fourier", "fold_t is fourier-only (like pack_nl_forward)"
         t_model = fold_t / (dt * 8.0) if (normalize and normalize_time) else fold_t
         t_model = max(float(t_model), t_floor)
-        # host-side numpy mirror of ops.ilt._fourier_nodes +
-        # ops.sphere.complex_to_spherical (as in ops/pallas_nl.py:126-133):
-        # the experimental TPU backend rejects EAGER complex ops, and this
-        # fold happens at specialization time, outside any jit
-        import math
+        from ..ops.ilt import fourier_spherical_host
 
-        from ..ops.ilt import _FOURIER_ALPHA, _FOURIER_EPS, _FOURIER_SCALE
-
-        T_c = _FOURIER_SCALE * t_model
-        sigma = _FOURIER_ALPHA - math.log(_FOURIER_EPS) / T_c
-        omega = np.pi * np.arange(s_recon_terms) / T_c
-        th_s = np.arctan2(omega, sigma)
-        mag2 = sigma * sigma + omega * omega
-        ph_s = np.arcsin(np.clip((mag2 - 1.0) / (mag2 + 1.0), -1.0, 1.0))
+        th_s, ph_s = fourier_spherical_host(t_model, s_recon_terms)
         tp = jnp.asarray(np.concatenate([th_s, ph_s]), jnp.float32)  # [2*terms]
         l0 = qparams["mlp"][0]
         w0 = l0["w"]
@@ -291,6 +280,71 @@ def make_int8_nl_apply(
         )
 
     return apply
+
+
+def planner_saturation_probe(
+    apply_fn,
+    params,
+    norm,
+    obs0: jnp.ndarray,
+    *,
+    action_high,
+    action_dim: int,
+    K: int,
+    T: int,
+    key,
+    dt: float,
+    action_buffer_size: int = 4,
+    obs_bound: float | Sequence[float] = 6.0,
+):
+    """Measure how often planner-rollout observations exceed ``obs_bound``.
+
+    The int8 path saturates normalized obs at ``obs_bound`` (quantize_nl_params)
+    — silently, by design of any int8 grid. Diverged planner rollouts are
+    exactly the ones MPPI should be penalizing, so a high clipped fraction
+    is the observable precursor of an int8 quality regression (advisor
+    round-3 finding). This probe mirrors the planner's rollout structure
+    (mppi_delay: sliding action windows over ``concat([hist, actions])``,
+    state' = state + apply(state, window, dt)) under uniform random actions
+    in [-action_high, action_high] — an upper-bound excitation comparable to
+    MPPI's exploration noise — and reports the fraction of |obs_n| >
+    obs_bound per horizon step.
+
+    Returns dict with per-step clipped fractions (list, len T) and their
+    mean/max. Pass the F32 apply: saturation must be measured on the
+    un-clipped dynamics the int8 path approximates.
+    """
+    import jax
+
+    state_mean = jnp.asarray(norm.state_mean, jnp.float32)
+    state_std = jnp.asarray(norm.state_std, jnp.float32)
+    obs_b = jnp.broadcast_to(
+        jnp.asarray(obs_bound, jnp.float32), (obs0.shape[-1],)
+    )
+    a_high = jnp.broadcast_to(jnp.asarray(action_high, jnp.float32), (action_dim,))
+    acts = jax.random.uniform(
+        key, (K, T, action_dim), jnp.float32, minval=-1.0, maxval=1.0
+    ) * a_high
+    hist = jnp.zeros((K, action_buffer_size - 1, action_dim), jnp.float32)
+    full = jnp.concatenate([hist, acts], axis=1)  # [K, A-1+T, nu]
+    state0 = jnp.broadcast_to(obs0.astype(jnp.float32), (K,) + obs0.shape[-1:])
+
+    def step(state, t):
+        window = jax.lax.dynamic_slice_in_dim(full, t, action_buffer_size, axis=1)
+        ts_pred = jnp.full((K, 1), dt, jnp.float32)
+        nxt = state + apply_fn(params, state, window, ts_pred)
+        obs_n = (nxt - state_mean) / state_std
+        frac = jnp.mean((jnp.abs(obs_n) > obs_b).astype(jnp.float32))
+        return nxt, frac
+
+    _, fracs = jax.lax.scan(step, state0, jnp.arange(T))
+    fracs = [float(f) for f in fracs]
+    return {
+        "obs_bound": [float(b) for b in obs_b],
+        "clip_frac_per_step": [round(f, 6) for f in fracs],
+        "clip_frac_mean": round(float(np.mean(fracs)), 6),
+        "clip_frac_max": round(float(np.max(fracs)), 6),
+    }
 
 
 def quantized_apply_for(

@@ -191,7 +191,11 @@ def _main(argv=None):
     )
     k = min(args.last, cursor, log.capacity)
     if k > 0:
-        for row in log.read(cursor - k, k):
+        try:
+            rows = log.read(cursor - k, k)
+        except IndexError:  # writer lapped the ring between count and read
+            rows = []
+        for row in rows:
             print(json.dumps([round(float(x), 6) for x in row]))
     while args.follow:
         new = log.count

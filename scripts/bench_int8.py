@@ -44,10 +44,24 @@ def _flagship(env_name: str, delay: int):
 
 
 def mode_quality(args):
-    from neurallaplacecontrol_tpu.ops.quant import quantized_apply_for
+    from neurallaplacecontrol_tpu.models.base import norm_stats_for
+    from neurallaplacecontrol_tpu.ops.quant import (
+        planner_saturation_probe,
+        quantized_apply_for,
+    )
     from neurallaplacecontrol_tpu.training.eval import evaluate_policy
 
     cfg, env, spec, model, params = _flagship(args.env, args.delay)
+    # obs-saturation observability (advisor r3): fraction of planner-rollout
+    # obs features the int8 grid would clip at obs_bound, measured on the f32
+    # dynamics under random-action excitation
+    norm = norm_stats_for(args.env, spec.action_high, spec.m)
+    sat = planner_saturation_probe(
+        model.apply, params, norm, env.observe(env.reset(jax.random.PRNGKey(0))),
+        action_high=spec.action_high, action_dim=spec.m,
+        K=min(args.k, 256), T=args.t, key=jax.random.PRNGKey(1), dt=cfg.dt,
+        action_buffer_size=cfg.action_buffer_size,
+    )
     del env
     seeds = list(range(args.seeds))
     common = dict(
@@ -71,6 +85,11 @@ def mode_quality(args):
                 "int8_total_reward": res_int8["total_reward"],
                 "f32_per_seed": res_f32["total_rewards"],
                 "int8_per_seed": res_int8["total_rewards"],
+                "obs_saturation": {
+                    "clip_frac_mean": sat["clip_frac_mean"],
+                    "clip_frac_max": sat["clip_frac_max"],
+                    "clip_frac_final_step": sat["clip_frac_per_step"][-1],
+                },
             }
         ),
         flush=True,
