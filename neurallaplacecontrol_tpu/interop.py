@@ -27,12 +27,15 @@ caller to `torch.load` the file (`load_torch_state_dict` wraps that when
 torch is importable).
 
 Also covered: `rnn_params_from_state_dict` (reference RNN and DeltaTRNN,
-train_utils.py:552-631) and `node_params_from_state_dict` (reference NODE,
-train_utils.py:637-738). latent_ode is deliberately NOT mapped: our
-rebuild deviates architecturally from the vendored Rubanova stack (carried
-planner history, per-row horizons — see models/latent_ode.py), so a weight
-transplant would not reproduce the reference forward; retrain instead
-(minutes at the measured budgets, artifacts/baseline_parity/README.md).
+train_utils.py:552-631), `node_params_from_state_dict` (reference NODE,
+train_utils.py:637-738), and `latent_ode_params_from_state_dict`
+(reference GeneralLatentODEOfficial, w_latent_ode.py:22-76 over the
+vendored Rubanova lib). The latent-ODE mapping targets the
+reference-LAYOUT twin `models/latent_ode_ref.py` — our primary latent-ODE
+rebuild (models/latent_ode.py) deviates architecturally (carried planner
+history, per-row horizons) and keeps its own trained checkpoints; use
+``make_model("latent_ode_ref", ...)`` to plan with transplanted reference
+weights.
 """
 
 from __future__ import annotations
@@ -198,6 +201,101 @@ def node_params_from_state_dict(sd: Mapping[str, "np.ndarray"]) -> dict:
             }
             for i in _MLP_SLOTS
         ]
+    }
+
+
+_LO_ENC = "model.encoder_z0"
+_LO_GATES = ("update", "reset")  # sigmoid-headed GRU_unit nets
+_NET3 = (0, 2, 4)  # create_net(n_layers=1): Linear,Tanh,Linear,Tanh,Linear
+_NET2 = (0, 2)  # hand-built Sequential(Linear,Tanh,Linear[,Sigmoid])
+
+
+def _lin_in(sd, prefix: str) -> dict:
+    import jax.numpy as jnp
+
+    return {
+        "w": jnp.asarray(sd[f"{prefix}.weight"].T),
+        "b": jnp.asarray(sd[f"{prefix}.bias"]),
+    }
+
+
+def _seq_in(sd, prefix: str, slots) -> list:
+    return [_lin_in(sd, f"{prefix}.{i}") for i in slots]
+
+
+def latent_ode_params_from_state_dict(sd: Mapping[str, "np.ndarray"]) -> dict:
+    """Reference `GeneralLatentODEOfficial.state_dict()` -> the
+    models/latent_ode_ref.py pytree.
+
+    Key layout follows create_latent_ode_model.py:17-160 under the module's
+    ``model`` attribute (w_latent_ode.py:55-66): GRU_unit gate nets and
+    transform_z0 are 2-Linear Sequentials (slots 0, 2), both ODE nets are
+    create_net 3-Linear stacks (slots 0, 2, 4), the decoder is one Linear.
+    Normalization/dt buffers are constructor config here and are dropped
+    (same policy as the NL mapping above).
+    """
+    sd = {k: _np(v) for k, v in sd.items()}
+    return {
+        "rec_ode": _seq_in(sd, f"{_LO_ENC}.z0_diffeq_solver.ode_func.gradient_net", _NET3),
+        "gru": {
+            "update": _seq_in(sd, f"{_LO_ENC}.GRU_update.update_gate", _NET2),
+            "reset": _seq_in(sd, f"{_LO_ENC}.GRU_update.reset_gate", _NET2),
+            "state": _seq_in(sd, f"{_LO_ENC}.GRU_update.new_state_net", _NET2),
+        },
+        "transform_z0": _seq_in(sd, f"{_LO_ENC}.transform_z0", _NET2),
+        "gen_ode": _seq_in(sd, "model.diffeq_solver.ode_func.gradient_net", _NET3),
+        "decoder": _lin_in(sd, "model.decoder.decoder.0"),
+    }
+
+
+def latent_ode_state_dict_from_params(
+    params: Mapping, norm=None, dt: float | None = None
+) -> Dict[str, np.ndarray]:
+    """models/latent_ode_ref.py pytree -> reference-format state_dict.
+
+    As with the NL export, pass ``norm``/``dt`` to emit the registered
+    buffers (w_latent_ode.py:48-52) for `load_state_dict(strict=True)`.
+    """
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_seq(prefix: str, slots, layers):
+        for slot, p in zip(slots, layers):
+            sd[f"{prefix}.{slot}.weight"] = _np(p["w"]).T
+            sd[f"{prefix}.{slot}.bias"] = _np(p["b"])
+
+    put_seq(f"{_LO_ENC}.z0_diffeq_solver.ode_func.gradient_net", _NET3, params["rec_ode"])
+    for gate in (*_LO_GATES, "state"):
+        key = "new_state_net" if gate == "state" else f"{gate}_gate"
+        put_seq(f"{_LO_ENC}.GRU_update.{key}", _NET2, params["gru"][gate])
+    put_seq(f"{_LO_ENC}.transform_z0", _NET2, params["transform_z0"])
+    put_seq("model.diffeq_solver.ode_func.gradient_net", _NET3, params["gen_ode"])
+    sd["model.decoder.decoder.0.weight"] = _np(params["decoder"]["w"]).T
+    sd["model.decoder.decoder.0.bias"] = _np(params["decoder"]["b"])
+    if norm is not None:
+        sd["state_mean"] = _np(norm.state_mean)
+        sd["state_std"] = _np(norm.state_std)
+        sd["action_mean"] = _np(norm.action_mean)
+        sd["action_std"] = _np(norm.action_std)
+    if dt is not None:
+        sd["dt"] = np.asarray(dt)
+    return sd
+
+
+def latent_ode_arch_from_state_dict(sd: Mapping[str, "np.ndarray"]) -> dict:
+    """Recover `make_ref_latent_ode_model` kwargs from a checkpoint:
+    {"state_dim", "action_dim", "hidden_units", "rec_dims"}. latents =
+    state_dim + 2 is the reference's hard rule (w_latent_ode.py:41-44);
+    input_dim = state_dim + action_dim comes off the decoder head."""
+    update0 = _np(sd[f"{_LO_ENC}.GRU_update.update_gate.0.weight"])
+    update2 = _np(sd[f"{_LO_ENC}.GRU_update.update_gate.2.weight"])
+    dec = _np(sd["model.decoder.decoder.0.weight"])
+    latents = int(dec.shape[1])
+    state_dim = latents - 2
+    return {
+        "state_dim": state_dim,
+        "action_dim": int(dec.shape[0]) - state_dim,
+        "hidden_units": int(update0.shape[0]),
+        "rec_dims": int(update2.shape[0]),
     }
 
 

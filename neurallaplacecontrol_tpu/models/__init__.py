@@ -74,4 +74,19 @@ def make_model(
             action_buffer_size=config.action_buffer_size,
             **common,
         )
+    if model_name == "latent_ode_ref":
+        # reference-layout twin for `.pt` checkpoint transplants (see
+        # models/latent_ode_ref.py; import weights via
+        # interop.latent_ode_params_from_state_dict). Planner-usable through
+        # the uniform apply; training this family stays with "latent_ode".
+        from .latent_ode_ref import make_ref_latent_ode_model
+
+        return make_ref_latent_ode_model(
+            state_dim,
+            action_dim,
+            norm,
+            hidden_units=config.latent_ode_hidden_units,
+            action_buffer_size=config.action_buffer_size,
+            **common,
+        )
     raise ValueError(f"Unknown model: {model_name}")

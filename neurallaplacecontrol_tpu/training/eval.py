@@ -26,7 +26,12 @@ from .rollout import (
     make_batched_episode_fn,
 )
 
-EVAL_MODELS = ("nl", "oracle", "random", "delta_t_rnn", "rnn", "node", "latent_ode")
+EVAL_MODELS = (
+    "nl", "oracle", "random", "delta_t_rnn", "rnn", "node", "latent_ode",
+    # reference-layout latent-ODE twin for transplanted `.pt` checkpoints
+    # (models/latent_ode_ref.py); plans through the generic learned path
+    "latent_ode_ref",
+)
 
 
 def evaluate_policy(

@@ -532,3 +532,232 @@ def test_node_forward_parity(ref_tu_classes):
             torch.from_numpy(obs), torch.from_numpy(acts), torch.from_numpy(ts)
         ).numpy()
     np.testing.assert_allclose(ours, theirs, rtol=0, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# latent_ode: transplant treatment against the reference's OWN vendored
+# Rubanova stack (w_latent_ode.py + baseline_models/latent_ode_lib/), run with
+# the same torchdiffeq shim the round-3 baseline-parity evidence used. The
+# target on our side is the reference-LAYOUT twin models/latent_ode_ref.py
+# (our primary latent_ode deviates architecturally and keeps its own ckpts).
+# torch default dtype is pinned to f64 for these tests: run_odernn builds its
+# Euler grids with torch.linspace at CALL time (encoder_decoder.py:276-280),
+# which follows the default dtype.
+# ---------------------------------------------------------------------------
+
+LO_HIDDEN = 128  # config.latent_ode_hidden_units (reference config.py:44)
+
+
+@pytest.fixture(scope="module")
+def ref_latent_ode():
+    torch = pytest.importorskip("torch")
+    import types as _types
+
+    sys.path.insert(
+        0, str(pathlib.Path(__file__).parent.parent / "artifacts" / "baseline_parity")
+    )
+    try:
+        import tdeq_shim
+    finally:
+        sys.path.pop(0)
+    if "torchdiffeq" not in sys.modules:
+        tdeq_mod = _types.ModuleType("torchdiffeq")
+        tdeq_mod.odeint = tdeq_shim.odeint
+        sys.modules["torchdiffeq"] = tdeq_mod
+    if "torchlaplace" not in sys.modules:
+        stub = _types.ModuleType("torchlaplace")
+        stub.laplace_reconstruct = lambda *a, **k: (_ for _ in ()).throw(
+            NotImplementedError("not on the latent_ode path")
+        )
+        sys.modules["torchlaplace"] = stub
+
+    prev_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    sys.path.insert(0, str(REF))
+    try:
+        import w_latent_ode
+    finally:
+        sys.path.remove(str(REF))
+        sys.modules.pop("w_latent_ode", None)
+        sys.modules.pop("config", None)
+    yield w_latent_ode
+    torch.set_default_dtype(prev_dtype)
+
+
+def _build_ref_lo(ref_latent_ode, seed: int = 21):
+    import torch
+
+    norm = _norm()
+    torch.manual_seed(seed)
+    ref = ref_latent_ode.GeneralLatentODEOfficial(
+        STATE_DIM,
+        ACTION_DIM,
+        STATE_DIM,  # latent_dim arg; ignored, latents = state_dim + 2
+        hidden_units=LO_HIDDEN,
+        state_mean=norm.state_mean,
+        state_std=norm.state_std,
+        action_mean=norm.action_mean,
+        action_std=norm.action_std,
+        normalize=True,
+        normalize_time=True,
+        dt=DT,
+    ).double()
+    return ref, norm
+
+
+def _build_ours_lo(norm):
+    import jax.numpy as jnp
+
+    from neurallaplacecontrol_tpu.models.latent_ode_ref import (
+        make_ref_latent_ode_model,
+    )
+
+    return make_ref_latent_ode_model(
+        STATE_DIM, ACTION_DIM, norm, hidden_units=LO_HIDDEN,
+        action_buffer_size=BUF, normalize=True, dt=DT, dtype=jnp.float64,
+    )
+
+
+def _lo_history(rng, batch: int):
+    obs_hist = rng.normal(size=(batch, BUF, STATE_DIM)) * np.array(
+        [2.0, 8.0, 0.7, 0.7, 12.0]
+    )
+    act_hist = rng.uniform(-3.0, 3.0, size=(batch, BUF, ACTION_DIM))
+    return obs_hist, act_hist
+
+
+def test_latent_ode_encoder_parity(ref_latent_ode):
+    """Transplanted ODE-RNN encoder (backward Euler grids, GRU_unit,
+    transform_z0) matches the reference's encoder_z0 to f64 round-off."""
+    import torch
+
+    from neurallaplacecontrol_tpu.interop import latent_ode_params_from_state_dict
+
+    ref, norm = _build_ref_lo(ref_latent_ode)
+    model = _build_ours_lo(norm)
+    params = latent_ode_params_from_state_dict(ref.state_dict())
+
+    rng = np.random.default_rng(22)
+    obs_hist, act_hist = _lo_history(rng, 6)
+    obs_n = (obs_hist - norm.state_mean) / norm.state_std
+    act_n = (act_hist - norm.action_mean) / norm.action_std
+    x = np.concatenate([obs_n, act_n], axis=-1)
+
+    times = (np.arange(-(BUF - 1), 1, dtype=np.float64)) * DT
+    with torch.no_grad():
+        mean_t, std_t = ref.model.encoder_z0(
+            torch.from_numpy(np.concatenate([x, np.ones_like(x)], axis=-1)),
+            torch.from_numpy(times),
+            run_backwards=True,
+        )
+    ours_mean, ours_std = model.encode_z0(params, x)
+    np.testing.assert_allclose(
+        np.asarray(ours_mean), mean_t.numpy()[0], rtol=0, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours_std), std_t.numpy()[0], rtol=0, atol=1e-10
+    )
+
+
+def test_latent_ode_full_forward_parity(ref_latent_ode, monkeypatch):
+    """Full planning forward parity: the reference's forward() (fresh rolling
+    buffer, mode='extrap', single-point decode) against encode_z0 + decoder
+    on the same normalized history, with the reference's z0 sampler pinned
+    to the posterior mean (our deterministic convention)."""
+    import baseline_models.latent_ode_lib.latent_ode as lo_mod
+    import torch
+
+    from neurallaplacecontrol_tpu.interop import latent_ode_params_from_state_dict
+    from neurallaplacecontrol_tpu.models.common import linear_apply
+
+    monkeypatch.setattr(lo_mod, "sample_standard_gaussian", lambda mu, sigma: mu)
+
+    ref, norm = _build_ref_lo(ref_latent_ode)
+    model = _build_ours_lo(norm)
+    params = latent_ode_params_from_state_dict(ref.state_dict())
+
+    rng = np.random.default_rng(23)
+    obs, acts, ts = _inputs(rng, 6)
+    with torch.no_grad():
+        theirs = ref(
+            torch.from_numpy(obs), torch.from_numpy(acts), torch.from_numpy(ts)
+        ).numpy()
+
+    # the reference forward rolls a zeros-initialized NORMALIZED obs buffer
+    # and sets only its last row (w_latent_ode.py:165-172)
+    obs_n = (obs - norm.state_mean) / norm.state_std
+    hist_n = np.zeros((obs.shape[0], BUF, STATE_DIM))
+    hist_n[:, -1, :] = obs_n
+    act_n = (acts - norm.action_mean) / norm.action_std
+    z_mean, _ = model.encode_z0(params, np.concatenate([hist_n, act_n], axis=-1))
+    ours = np.asarray(linear_apply(params["decoder"], z_mean))[:, :STATE_DIM]
+    np.testing.assert_allclose(ours, theirs, rtol=0, atol=1e-10)
+
+    # ts-independence is reference semantics (single-point odeint): same
+    # prediction at a 10x horizon
+    with torch.no_grad():
+        ref.batch_obs_buffer = torch.zeros(obs.shape[0], BUF, STATE_DIM).double()
+        theirs_10x = ref(
+            torch.from_numpy(obs), torch.from_numpy(acts),
+            torch.from_numpy(ts * 10.0),
+        ).numpy()
+    np.testing.assert_allclose(theirs_10x, theirs, rtol=0, atol=1e-12)
+
+
+def test_latent_ode_state_dict_roundtrip(ref_latent_ode):
+    """export(import(sd)) reproduces every reference weight bit-exactly and
+    load_state_dict(strict=True) accepts the emitted buffers."""
+    import torch
+
+    from neurallaplacecontrol_tpu.interop import (
+        latent_ode_params_from_state_dict,
+        latent_ode_state_dict_from_params,
+    )
+
+    ref, norm = _build_ref_lo(ref_latent_ode)
+    params = latent_ode_params_from_state_dict(ref.state_dict())
+    sd_back = latent_ode_state_dict_from_params(params, norm=norm, dt=DT)
+    ref.load_state_dict(
+        {k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd_back.items()}
+    )
+    for k, v in ref.state_dict().items():
+        np.testing.assert_array_equal(np.asarray(sd_back[k]), v.numpy(), err_msg=k)
+
+
+def test_latent_ode_arch_recovery_and_file_import(ref_latent_ode, tmp_path):
+    """latent_ode_arch_from_state_dict recovers constructor kwargs, and a
+    reference-format .pt file imports into params whose uniform apply runs
+    finite through the planner interface."""
+    import jax.numpy as jnp
+    import torch
+
+    from neurallaplacecontrol_tpu.interop import (
+        latent_ode_arch_from_state_dict,
+        latent_ode_params_from_state_dict,
+        load_torch_state_dict,
+    )
+    from neurallaplacecontrol_tpu.models.latent_ode_ref import (
+        make_ref_latent_ode_model,
+    )
+
+    ref, norm = _build_ref_lo(ref_latent_ode)
+    path = tmp_path / "latent_ode_ref.pt"
+    torch.save(ref.state_dict(), path)
+    sd = load_torch_state_dict(str(path))
+
+    arch = latent_ode_arch_from_state_dict(sd)
+    assert arch == {
+        "state_dim": STATE_DIM,
+        "action_dim": ACTION_DIM,
+        "hidden_units": LO_HIDDEN,
+        "rec_dims": 20,
+    }, arch
+
+    model = make_ref_latent_ode_model(
+        norm=norm, action_buffer_size=BUF, dt=DT, dtype=jnp.float64, **arch
+    )
+    params = latent_ode_params_from_state_dict(sd)
+    rng = np.random.default_rng(24)
+    obs, acts, ts = _inputs(rng, 4)
+    out = np.asarray(model.apply(params, obs, acts, ts))
+    assert out.shape == (4, STATE_DIM) and np.isfinite(out).all()
