@@ -229,6 +229,9 @@ def main():
     el = time.perf_counter() - t_start
     log(f"# done after {int(el)}s, {it_total} iters")
     heldout_mse(model, locals())
+    if ARGS.save:
+        torch.save(model.state_dict(), ARGS.save)
+        log(f"# saved state_dict to {ARGS.save}")
 
 
 @torch.no_grad()
@@ -286,5 +289,6 @@ if __name__ == "__main__":
     p.add_argument("--threads", type=int, default=8)
     p.add_argument("--eval_every", type=int, default=20000)
     p.add_argument("--eval_samples", type=int, default=256)
+    p.add_argument("--save", default=None, help="path to torch.save the trained state_dict")
     ARGS = p.parse_args()
     main()

@@ -183,6 +183,30 @@ def rnn_params_from_state_dict(sd: Mapping[str, "np.ndarray"]) -> dict:
     }
 
 
+def rnn_state_dict_from_params(params: Mapping, norm=None, dt: float | None = None) -> Dict[str, np.ndarray]:
+    """Our RNN/DeltaTRNN params pytree -> reference-format state_dict
+    (inverse of rnn_params_from_state_dict; same buffer policy as the NL
+    export — pass ``norm``/``dt`` to emit the registered buffers of
+    train_utils.py:560-570)."""
+    p = params["gru"][0]
+    sd: Dict[str, np.ndarray] = {
+        "gru.weight_ih_l0": _np(p["w_ih"]).T,
+        "gru.weight_hh_l0": _np(p["w_hh"]).T,
+        "gru.bias_ih_l0": _np(p["b_ih"]),
+        "gru.bias_hh_l0": _np(p["b_hh"]),
+        "linear_out.weight": _np(params["out"]["w"]).T,
+        "linear_out.bias": _np(params["out"]["b"]),
+    }
+    if norm is not None:
+        sd["state_mean"] = _np(norm.state_mean)
+        sd["state_std"] = _np(norm.state_std)
+        sd["action_mean"] = _np(norm.action_mean)
+        sd["action_std"] = _np(norm.action_std)
+    if dt is not None:
+        sd["dt"] = np.asarray(dt)
+    return sd
+
+
 def node_params_from_state_dict(sd: Mapping[str, "np.ndarray"]) -> dict:
     """Reference `NODE` state_dict -> our params pytree.
 
