@@ -57,6 +57,25 @@ def process_slice(items: Sequence, process_id: Optional[int] = None,
     return [x for i, x in enumerate(items) if i % n == pid]
 
 
+def barrier(name: str, timeout_s: float = 3600.0) -> None:
+    """Cross-host barrier over the jax.distributed coordination service.
+
+    Prefer this to ``multihost_utils.sync_global_devices`` for RUNTIME
+    synchronization (e.g. "all processes finished their grid cells"): the
+    latter runs a device collective, whose CPU backend (gloo) performs its
+    one-time context handshake with a ~30 s connect timeout — any real skew
+    between hosts (one still training while another is done) kills it. The
+    coordination-service barrier is pure DCN RPC with an explicit timeout
+    and involves no device computation. Single-process runs: no-op."""
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed  # the service jax.distributed started
+
+    client = distributed.global_state.client
+    assert client is not None, "barrier() requires initialize() first"
+    client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
+
+
 def global_mesh(axis_names=("dp",), shape: Optional[tuple] = None):
     """A mesh over ALL devices of all hosts (ICI within a host/slice, DCN
     across). Default is one flat data-parallel axis; pass ``shape`` to

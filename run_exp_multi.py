@@ -18,6 +18,8 @@ Results land in logs/results.jsonl; summarize with
 """
 
 import argparse
+import json
+import os
 import sys
 import time
 import traceback
@@ -138,6 +140,25 @@ def main(argv=None):
         "for it.",
     )
     parser.add_argument(
+        "--multihost", type=str, default=None,
+        help="run the grid multi-host over DCN: 'coordinator_host:port,N' "
+        "initializes jax.distributed across N processes (launch the same "
+        "command on every host with distinct --process_id) and splits the "
+        "(env x delay x model) cell grid round-robin by process "
+        "(parallel.multihost.process_slice) — the TPU-pod replacement for "
+        "the reference's 12-worker Pool (run_exp_multi.py:144-165). Each "
+        "process trains and evaluates its own cells and writes "
+        "<results>.pN; after a cross-host barrier process 0 merges the "
+        "shards into --results and prints the table (shared-filesystem "
+        "results dir assumed, as on pod NFS). Incompatible with "
+        "--ensemble_delays (its training couples delays across cells).",
+    )
+    parser.add_argument(
+        "--process_id", type=int,
+        default=int(os.environ.get("NLC_PROCESS_ID", "0")),
+        help="this host's process index for --multihost (or env NLC_PROCESS_ID)",
+    )
+    parser.add_argument(
         "--profile_trace_dir", type=str, default=None,
         help="capture a jax.profiler trace of each cell's evaluation into "
         "<dir>/<env>_<model>_d<delay>/ (utils/timing.py profile_trace; "
@@ -151,6 +172,29 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", ns.platform)
+
+    pid, pcount = 0, 1
+    if ns.multihost:
+        # must precede ANY backend use (parallel.multihost.initialize docs)
+        import jax
+
+        from neurallaplacecontrol_tpu.parallel import multihost
+
+        addr, _, n = ns.multihost.partition(",")
+        if not n:
+            parser.error("--multihost must be 'coordinator_host:port,N'")
+        multihost.initialize(addr, int(n), ns.process_id)
+        pid, pcount = jax.process_index(), jax.process_count()
+        if ns.ensemble_delays.lower() == "true":
+            parser.error("--multihost is incompatible with --ensemble_delays "
+                         "(ensemble training couples delays across cells)")
+        if ns.shard != "none":
+            parser.error(
+                "--multihost splits the grid by CELL; --shard builds a "
+                "global-mesh computation all processes must enter together "
+                "— combining them would deadlock. Use one or the other "
+                "(cell-parallel over DCN, or one cell sharded over ICI)."
+            )
 
     shard_kwargs = {}
     if ns.shard == "seeds":
@@ -172,12 +216,27 @@ def main(argv=None):
         parser.error(f"--shard must be none|seeds|rollouts|grid:NSxNK, got {ns.shard!r}")
 
     logger = setup_logger(__file__, log_folder=config.log_folder)
-    results = JsonlWriter(ns.results)
+    results_path = ns.results if pcount == 1 else f"{ns.results}.p{pid}"
+    results = JsonlWriter(results_path)
     envs = ns.envs.split(",")
     delays = [int(d) for d in ns.delays.split(",")]
     models = ns.models.split(",")
     seeds = list(range(config.seed_start, config.seed_start + config.seed_runs))
     run_records = []  # this run's records (the JSONL file is append-mode)
+
+    owned_cells = None
+    if pcount > 1:
+        from neurallaplacecontrol_tpu.parallel import multihost
+
+        cells = [(e, d, m) for e in envs for d in delays for m in models]
+        owned_cells = set(multihost.process_slice(cells, pid, pcount))
+        logger.info(
+            "[multihost] process %d/%d owns %d/%d grid cells",
+            pid, pcount, len(owned_cells), len(cells),
+        )
+
+    def owned(env_name, delay, model_name) -> bool:
+        return owned_cells is None or (env_name, delay, model_name) in owned_cells
 
     trained = {}
     use_ensemble = ns.ensemble_delays.lower() == "true" and len(delays) > 1
@@ -261,6 +320,8 @@ def main(argv=None):
                 for model_name in seq_models:
                     if model_name in ("oracle", "random"):
                         continue
+                    if not owned(env_name, delay, model_name):
+                        continue
                     try:
                         t0 = time.time()
                         model, params, res = train_model(
@@ -285,6 +346,8 @@ def main(argv=None):
     for env_name in envs:
         for delay in delays:
             for model_name in models:
+                if not owned(env_name, delay, model_name):
+                    continue
                 try:
                     extra = {}
                     if model_name not in ("oracle", "random"):
@@ -334,6 +397,30 @@ def main(argv=None):
                     }
                     results.write(rec)
                     run_records.append(rec)
+
+    if pcount > 1:
+        # cross-host barrier, then process 0 merges the per-process shards
+        # into the requested results file (shared results dir assumed)
+        from neurallaplacecontrol_tpu.parallel import multihost
+
+        multihost.barrier("nlc_grid_eval_done")
+        if pid != 0:
+            logger.info("Fin (process %d; shard %s).", pid, results_path)
+            return
+        merged = JsonlWriter(ns.results)
+        run_records = []
+        for i in range(pcount):
+            shard = Path(f"{ns.results}.p{i}")
+            if not shard.exists():  # a process can own zero surviving cells
+                continue
+            for line in shard.read_text().splitlines():
+                rec = json.loads(line)
+                merged.write(rec)
+                run_records.append(rec)
+        logger.info(
+            "[multihost] merged %d records from %d shards into %s",
+            len(run_records), pcount, ns.results,
+        )
 
     # summary table over THIS run's records only (the results file is
     # append-mode and may hold earlier runs with different configs)

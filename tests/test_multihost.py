@@ -58,3 +58,71 @@ def test_two_process_distributed_grid_split(tmp_path):
     expect = recs[0]["local_total"] + recs[1]["local_total"]
     for r in recs:
         assert np.isclose(r["global_total"], expect, rtol=1e-6), (r, expect)
+
+
+def test_two_process_driver_grid(tmp_path):
+    """END-TO-END multi-host driver (VERDICT r3 item 5): two jax.distributed
+    processes run `run_exp_multi.py --multihost`, split a real 2-cell grid
+    (train nl + eval nl/random on a miniature pendulum config), and process 0
+    merges the shards into the requested results file."""
+    port = _free_port()
+    results = str(tmp_path / "results.jsonl")
+    base = [
+        sys.executable, str(REPO / "run_exp_multi.py"),
+        "--multihost", f"127.0.0.1:{port},2",
+        "--platform", "cpu",
+        "--envs", "oderl-pendulum",
+        "--delays", "0",
+        "--models", "nl,random",
+        "--results", results,
+        "--train_seconds", "12",
+        "--retrain", "true",
+        "--force_retrain", "true",
+        "--seed_runs", "2",
+        "--dt", "0.5",
+        "--mppi_roll_outs", "8",
+        "--mppi_time_steps", "3",
+        "--train_with_expert_trajectories", "false",
+        "--train_samples_per_dim", "3",
+        "--iters_per_log", "50",
+        "--saved_models_path", str(tmp_path) + "/",
+        "--log_folder", str(tmp_path),
+    ]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            base + ["--process_id", str(pid)],
+            env=env, cwd=str(REPO),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"process failed:\n{out}"
+
+    # both per-process shards exist and partition the grid 1+1
+    shard_recs = []
+    for i in range(2):
+        with open(f"{results}.p{i}") as f:
+            shard_recs.append([json.loads(line) for line in f if line.strip()])
+    assert sorted(len(s) for s in shard_recs) == [1, 1]
+
+    # process 0 merged the full grid into the requested file
+    with open(results) as f:
+        recs = [json.loads(line) for line in f if line.strip()]
+    by_model = {r["model_name"]: r for r in recs}
+    assert set(by_model) == {"nl", "random"}
+    for r in recs:
+        assert not r["errored"], r
+        assert len(r["total_rewards"]) == 2
+        assert np.isfinite(r["total_reward"]), r
