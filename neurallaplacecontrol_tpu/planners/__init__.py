@@ -9,4 +9,5 @@ from .mppi_delay import (  # noqa: F401
     mppi_command,
     mppi_command_core,
     mppi_rollout_states,
+    run_mppi,
 )

@@ -455,3 +455,78 @@ def mppi_rollout_states(
 
     _, states = lax.scan(step, state0, windows)
     return jnp.swapaxes(states, 0, 1)  # [num_rollouts, T, nx]
+
+
+def run_mppi(
+    env,
+    cfg: MPPIConfig,
+    params: MPPIParams,
+    make_dynamics: Callable,
+    running_cost: Callable,
+    model_params,
+    key: jax.Array,
+    retrain_dynamics: Optional[Callable] = None,
+    retrain_after_iter: int = 50,
+    iters: int = 200,
+    action_buffer_size: int = 4,
+    delay: int = 0,
+):
+    """Online MPPI control with periodic dynamics retraining.
+
+    Working functional equivalent of reference planners/mppi_delay.py:
+    384-410 ``run_mppi`` — unused dead code there, and not callable as
+    written (it invokes ``mppi.command(state)`` without the action buffer
+    its own class requires). Here: run the real environment under MPPI,
+    ring-buffer the visited (obs, action) pairs exactly like the reference
+    (pre-step obs + commanded action, cleared every cycle), and every
+    ``retrain_after_iter`` steps hand the dataset to the host callback
+    ``retrain_dynamics(dataset, model_params) -> model_params`` (arbitrary
+    optimization allowed), after which the planner dynamics closure is
+    rebuilt via ``make_dynamics(model_params)`` and the command re-jitted.
+
+    The environment stepping matches the evaluation loop (single Euler step
+    per dt, envs.base.env_step) with the standard delay buffer semantics
+    (mppi_with_model.py:25-28 get_action). Returns ``(total_reward,
+    dataset)`` with dataset [retrain_after_iter, n_obs + nu], as the
+    reference does.
+    """
+    import numpy as np
+
+    from ..envs.base import env_step
+
+    spec = env.spec
+    nx, nu = spec.n_obs, spec.m
+    A = action_buffer_size
+
+    def make_command(mp):
+        dynamics = make_dynamics(mp)
+
+        @jax.jit
+        def command(U, obs, buffer, k):
+            return mppi_command(cfg, params, dynamics, running_cost, U, obs, buffer, k)
+
+        return command
+
+    command = make_command(model_params)
+    k_reset, k_u0, key = jax.random.split(key, 3)
+    raw = env.reset(k_reset)
+    U = mppi_reset(k_u0, cfg, params)
+    buffer = jnp.zeros((A, nu))
+    dataset = np.zeros((retrain_after_iter, nx + nu), dtype=np.float64)
+    total_reward = 0.0
+    for i in range(iters):
+        obs = env.observe(raw)
+        action, U, _ = command(U, obs, buffer, jax.random.fold_in(key, i))
+        # delay buffer: the env executes the action commanded `delay` ticks ago
+        buffer = jnp.roll(buffer, -1, axis=0).at[-1].set(action)
+        applied = buffer[-(delay + 1)]
+        raw = env_step(env, raw, applied, spec.dt)
+        total_reward += float(env.diff_reward(env.observe(raw), applied))
+        di = i % retrain_after_iter
+        if di == 0 and i > 0 and retrain_dynamics is not None:
+            model_params = retrain_dynamics(dataset, model_params)
+            command = make_command(model_params)
+            dataset[:] = 0.0
+        dataset[di, :nx] = np.asarray(obs)
+        dataset[di, nx:] = np.asarray(action)
+    return total_reward, dataset

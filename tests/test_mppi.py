@@ -270,3 +270,65 @@ def test_scan_unroll_parity(key):
         np.testing.assert_array_equal(
             np.asarray(aux1["cost_total"]), np.asarray(aux2["cost_total"])
         )
+
+
+def test_run_mppi_online_retraining():
+    """run_mppi (reference planners/mppi_delay.py:384-410 equivalent): the
+    online loop steps the real env, ring-buffers (obs, action), fires the
+    retrain callback on the reference's cadence (every retrain_after_iter,
+    skipping i=0), rebuilds the planner dynamics with the returned params,
+    and accumulates a finite total reward."""
+    import numpy as np
+
+    from neurallaplacecontrol_tpu.config import Config
+    from neurallaplacecontrol_tpu.envs import make_env
+    from neurallaplacecontrol_tpu.models import make_model
+    from neurallaplacecontrol_tpu.planners import (
+        MPPIConfig,
+        default_noise_sigma,
+        make_mppi_params,
+        run_mppi,
+    )
+    from neurallaplacecontrol_tpu.training.rollout import (
+        build_learned_dynamics,
+        build_running_cost,
+    )
+
+    env = make_env("oderl-pendulum", dt=0.05)
+    spec = env.spec
+    model = make_model("rnn", "oderl-pendulum", spec.n_obs, spec.m,
+                       spec.action_high, Config())
+    params0 = model.init(jax.random.PRNGKey(0))
+    cfg = MPPIConfig(num_samples=16, horizon=4, nu=spec.m,
+                     u_scale=spec.action_high, u_min=-spec.action_high,
+                     u_max=spec.action_high)
+    mp = make_mppi_params(default_noise_sigma(spec.m, 1.0))
+
+    calls = []
+
+    def retrain(dataset, params):
+        # the reference hands over the ring buffer and may mutate the model
+        calls.append(np.array(dataset, copy=True))
+        return params
+
+    total, dataset = run_mppi(
+        env, cfg, mp,
+        make_dynamics=lambda p: build_learned_dynamics(
+            env, model.apply, p, cfg.num_samples, spec.dt
+        ),
+        running_cost=build_running_cost(env),
+        model_params=params0,
+        key=jax.random.PRNGKey(3),
+        retrain_dynamics=retrain,
+        retrain_after_iter=10,
+        iters=25,
+        delay=1,
+    )
+    assert np.isfinite(total)
+    assert dataset.shape == (10, spec.n_obs + spec.m)
+    # reference cadence: fires at i=10 and i=20, not at i=0
+    assert len(calls) == 2
+    # the ring held a full cycle of real transitions at each retrain
+    for d in calls:
+        assert np.isfinite(d).all()
+        assert (np.abs(d[:, -spec.m:]) <= spec.action_high + 1e-6).all()
