@@ -17,18 +17,30 @@ index stream is common), same per-segment best-loss checkpointing to the
 same per-delay checkpoint names. A 1-delay ensemble reproduces
 train_model's parameter trajectory exactly (tested).
 
-CAVEAT (measured, round 2): semantic equivalence is not numerical
-equivalence. The vmapped update's batched GEMMs accumulate in a different
-order, so after ~10^6 f32 updates the ensemble walks a different SGD
-trajectory than individual training — equivalent to a different random
-draw. For loss-plateaued baseline families this is immaterial, but for
-the NL flagship one such draw (pendulum, delay 3) reached the same train
-MSE (8e-4) while losing action sensitivity from the hanging state, and
-MPPI through it never swung up (-799 vs -140 episode reward). Individual
-training on the same data/seed reproduced the good model
-(artifacts/run_nl_d3_diag.log). Use the ensemble for cheap baselines;
-train the control-critical flagship per delay, or gate ensemble output
-with a post-training control eval.
+CAVEAT (measured, round 2; root cause CLOSED, round 4): semantic
+equivalence is not numerical equivalence. The vmapped update's batched
+GEMMs accumulate in a different order, so after ~10^6 f32 updates the
+ensemble walks a different SGD trajectory than individual training —
+equivalent to a different random draw. For loss-plateaued baseline
+families this is immaterial, but for the NL flagship one such draw
+(pendulum, delay 3) reached the same train MSE (8e-4) while losing action
+sensitivity from the hanging state, and MPPI through it never swung up
+(-799 vs -140 episode reward). Individual training on the same data/seed
+reproduced the good model (artifacts/run_nl_d3_diag.log).
+
+Round-4 probe (scripts/ensemble_numerics_probe.py,
+artifacts/ensemble_numerics_probe_r4.jsonl) pinpointed and closed the root
+cause: the perturbation enters through the vmapped f32 forward/backward
+GEMMs themselves — a same-data two-member ensemble is BIT-IDENTICAL to the
+real one (members don't interact), while f64 optimizer state and
+Kahan-compensated parameter updates both diverge from the individual
+trajectory at the same ~5e-3 relative distance as plain f32. Nothing the
+optimizer computes can undo a 1-ulp gradient difference amplified by SGD
+chaos, and full-f64 training is unsupported on TPU. The PERMANENT answer
+is operational: use the ensemble for cheap baselines; train the
+control-critical flagship per delay (--ensemble_exclude nl, the default),
+or gate ensemble output with a post-training control eval
+(--ensemble_gate).
 """
 
 from __future__ import annotations
