@@ -198,3 +198,21 @@ def test_train_model_forwards_budget_override(tmp_path):
         end_training_after_seconds=6.0,  # ...caller says 6 s — must win
     )
     assert res["train_seconds"] < 120.0, res["train_seconds"]
+
+
+def test_latent_ode_ref_episode_runs():
+    """The reference-layout twin (models/latent_ode_ref.py) plans through the
+    standard eval path: make_model('latent_ode_ref') + evaluate_policy, the
+    route a transplanted reference .pt checkpoint takes (interop docstring)."""
+    from neurallaplacecontrol_tpu.models import make_model
+    from neurallaplacecontrol_tpu.training import evaluate_policy
+
+    cfg = Config()
+    model = make_model("latent_ode_ref", "oderl-pendulum", 3, 1, 2.0, cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    res = evaluate_policy(
+        "latent_ode_ref", "oderl-pendulum", 0, seeds=[0],
+        config=cfg, model_apply=model.apply, params=params,
+        roll_outs=16, time_steps=5,
+    )
+    assert np.isfinite(res["total_reward"])
