@@ -143,11 +143,15 @@ def main():
     from neurallaplacecontrol_tpu.utils.checkpoint import (
         load_pytree,
         model_checkpoint_name,
+        resolve_checkpoint,
     )
 
-    ckpt = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "saved_models",
+    # saved_models/ is gitignored; resolve_checkpoint falls back to the
+    # tracked artifacts/checkpoints/ copy so a fresh clone benches the
+    # actual trained flagship, not random init.
+    ckpt = resolve_checkpoint(
         model_checkpoint_name("nl", env_name, 1, "exp", 0, True),
+        repo_root=os.path.dirname(os.path.abspath(__file__)),
     )
     trained = False
     try:

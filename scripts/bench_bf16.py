@@ -33,6 +33,7 @@ def main():
     from neurallaplacecontrol_tpu.utils.checkpoint import (
         load_pytree,
         model_checkpoint_name,
+        resolve_checkpoint,
     )
 
     env_name = "oderl-cartpole"
@@ -46,7 +47,7 @@ def main():
                            spec.action_high, config)
         if params is None:
             params = load_pytree(
-                str(REPO / "saved_models" /
+                resolve_checkpoint(
                     model_checkpoint_name("nl", "oderl-cartpole", 1, "exp", 0, True)),
                 model.init(jax.random.PRNGKey(0)))
         res = evaluate_policy(

@@ -30,6 +30,7 @@ def _flagship(env_name: str, delay: int):
     from neurallaplacecontrol_tpu.utils.checkpoint import (
         load_pytree,
         model_checkpoint_name,
+        resolve_checkpoint,
     )
 
     cfg = Config()
@@ -37,7 +38,9 @@ def _flagship(env_name: str, delay: int):
     spec = env.spec
     model = make_model("nl", env_name, spec.n_obs, spec.m, spec.action_high, cfg)
     params = load_pytree(
-        "saved_models/" + model_checkpoint_name("nl", env_name, delay, "exp", 0, True),
+        resolve_checkpoint(
+            model_checkpoint_name("nl", env_name, delay, "exp", 0, True)
+        ),
         model.init(jax.random.PRNGKey(0)),
     )
     return cfg, env, spec, model, params
@@ -127,14 +130,15 @@ def mode_perf(args):
     from neurallaplacecontrol_tpu.utils.checkpoint import (
         load_pytree,
         model_checkpoint_name,
+        resolve_checkpoint,
     )
 
     base = Config()
     env = make_env(args.env, dt=base.dt)
     spec = env.spec
     cost = build_running_cost(env)
-    ckpt = "saved_models/" + model_checkpoint_name(
-        "nl", args.env, args.delay, "exp", 0, True
+    ckpt = resolve_checkpoint(
+        model_checkpoint_name("nl", args.env, args.delay, "exp", 0, True)
     )
     # variant construction is K-invariant: load/quantize once, sweep K after
     variants = {}

@@ -41,16 +41,15 @@ def main(argv=None):
     from neurallaplacecontrol_tpu.utils.checkpoint import (
         load_pytree,
         model_checkpoint_name,
+        resolve_checkpoint,
     )
 
     base = Config()
     spec = make_env(args.env, dt=base.dt).spec
     model = make_model("nl", args.env, spec.n_obs, spec.m, spec.action_high, base)
     params = model.init(jax.random.PRNGKey(0))
-    ckpt = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "saved_models",
-        model_checkpoint_name("nl", args.env, args.delay, "exp", 0, True),
+    ckpt = resolve_checkpoint(
+        model_checkpoint_name("nl", args.env, args.delay, "exp", 0, True)
     )
     if os.path.exists(ckpt):
         params = load_pytree(ckpt, params)

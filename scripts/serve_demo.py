@@ -57,6 +57,7 @@ def main(argv=None):
     from neurallaplacecontrol_tpu.utils.checkpoint import (
         load_pytree,
         model_checkpoint_name,
+        resolve_checkpoint,
     )
 
     if args.cache_dir:
@@ -72,10 +73,8 @@ def main(argv=None):
         model = make_model(args.model, args.env, spec.n_obs, spec.m,
                            spec.action_high, config)
         params = model.init(jax.random.PRNGKey(0))
-        ckpt = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "saved_models",
-            model_checkpoint_name(args.model, args.env, args.delay, "exp", 0, True),
+        ckpt = resolve_checkpoint(
+            model_checkpoint_name(args.model, args.env, args.delay, "exp", 0, True)
         )
         if os.path.exists(ckpt):
             params = load_pytree(ckpt, params)

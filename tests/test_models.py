@@ -150,12 +150,11 @@ def test_nl_bf16_compute_matches_f32():
     from neurallaplacecontrol_tpu.utils.checkpoint import (
         load_pytree,
         model_checkpoint_name,
+        resolve_checkpoint,
     )
 
-    ckpt = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "saved_models",
-        model_checkpoint_name("nl", "oderl-cartpole", 1, "exp", 0, True),
+    ckpt = resolve_checkpoint(
+        model_checkpoint_name("nl", "oderl-cartpole", 1, "exp", 0, True)
     )
     params = load_pytree(ckpt, m32.init(jax.random.PRNGKey(0)))
     key = jax.random.PRNGKey(3)

@@ -109,6 +109,7 @@ def test_fused_forward_compiled_accuracy_real_tpu():
     from neurallaplacecontrol_tpu.utils.checkpoint import (
         load_pytree,
         model_checkpoint_name,
+        resolve_checkpoint,
     )
 
     assert jax.devices()[0].platform == "tpu"
@@ -121,10 +122,8 @@ def test_fused_forward_compiled_accuracy_real_tpu():
 
     model32 = build(jnp.float32)
     params_rand = model32.init(jax.random.PRNGKey(0))
-    ckpt = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "saved_models",
-        model_checkpoint_name("nl", "oderl-cartpole", 1, "exp", 0, True),
+    ckpt = resolve_checkpoint(
+        model_checkpoint_name("nl", "oderl-cartpole", 1, "exp", 0, True)
     )
     params_trained = load_pytree(ckpt, params_rand)
     xla32 = jax.jit(model32.apply)

@@ -9,8 +9,6 @@ full planning step matches the plain path for every feature flag, and the
 K-sharded planner with an encoder still matches single-chip.
 """
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,12 +32,11 @@ from neurallaplacecontrol_tpu.training.rollout import (
 from neurallaplacecontrol_tpu.utils.checkpoint import (
     load_pytree,
     model_checkpoint_name,
+    resolve_checkpoint,
 )
 
-_CKPT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "saved_models",
-    model_checkpoint_name("nl", "oderl-cartpole", 1, "exp", 0, True),
+_CKPT = resolve_checkpoint(
+    model_checkpoint_name("nl", "oderl-cartpole", 1, "exp", 0, True)
 )
 
 

@@ -30,15 +30,14 @@ def flagship():
     from neurallaplacecontrol_tpu.utils.checkpoint import (
         load_pytree,
         model_checkpoint_name,
+        resolve_checkpoint,
     )
 
     cfg = Config()
     spec = make_env(ENV, dt=cfg.dt).spec
     model = make_model("nl", ENV, spec.n_obs, spec.m, spec.action_high, cfg)
-    ckpt = (
-        pathlib.Path(__file__).parent.parent
-        / "saved_models"
-        / model_checkpoint_name("nl", ENV, DELAY, "exp", 0, True)
+    ckpt = pathlib.Path(
+        resolve_checkpoint(model_checkpoint_name("nl", ENV, DELAY, "exp", 0, True))
     )
     if not ckpt.exists():
         pytest.skip("shipped flagship checkpoint not present")

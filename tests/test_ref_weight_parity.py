@@ -330,14 +330,15 @@ def test_trained_checkpoint_exports_to_reference(ref_w_nl):
     from neurallaplacecontrol_tpu.utils.checkpoint import (
         load_pytree,
         model_checkpoint_name,
+        resolve_checkpoint,
     )
 
     norm = _norm()
     model = _build_ours(norm, "fourier", 17)
-    ckpt = (
-        pathlib.Path(__file__).parent.parent
-        / "saved_models"
-        / model_checkpoint_name("nl", "oderl-cartpole", 1, "exp", 0, True)
+    ckpt = pathlib.Path(
+        resolve_checkpoint(
+            model_checkpoint_name("nl", "oderl-cartpole", 1, "exp", 0, True)
+        )
     )
     if not ckpt.exists():
         pytest.skip("shipped flagship checkpoint not present")

@@ -270,6 +270,7 @@ def test_controller_tick_on_real_tpu(key):
     from neurallaplacecontrol_tpu.utils.checkpoint import (
         load_pytree,
         model_checkpoint_name,
+        resolve_checkpoint,
     )
 
     assert jax.devices()[0].platform == "tpu"
@@ -277,10 +278,8 @@ def test_controller_tick_on_real_tpu(key):
     env = make_env("oderl-cartpole", dt=cfg.dt)
     model = make_model("nl", "oderl-cartpole", env.spec.n_obs, env.spec.m,
                        env.spec.action_high, cfg)
-    ckpt = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "saved_models",
-        model_checkpoint_name("nl", "oderl-cartpole", 1, "exp", 0, True),
+    ckpt = resolve_checkpoint(
+        model_checkpoint_name("nl", "oderl-cartpole", 1, "exp", 0, True)
     )
     params = load_pytree(ckpt, model.init(key))
     ctrl = serving.make_controller(
@@ -328,6 +327,7 @@ def test_controller_state_checkpoint_roundtrip(key, tmp_path):
     migrate the controller to another host mid-episode)."""
     from neurallaplacecontrol_tpu.utils.checkpoint import (
         load_pytree,
+        resolve_checkpoint,
         save_pytree,
     )
 
