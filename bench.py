@@ -78,13 +78,19 @@ def nl_forward_flops(model, params, spec, config, batch=1000):
     return float(analytic), "analytic"
 
 
-def _probe_devices(budget_s: float = 300.0):
+def _probe_devices(budget_s: float = 560.0):
     """Touch the backend with a wall-clock bound.
 
     The axon TPU tunnel can be down for hours at a stretch; first device use
     then blocks indefinitely inside the plugin. The contract here is ONE
     JSON line no matter what, so probe on a daemon thread and emit an
     honest error record instead of hanging the driver.
+
+    Budget: a COLD tunnel (first acquisition after idle) has been measured
+    at 420 s wall for device init + first compile (artifacts/autotune_r4.json
+    trial 0); the old 300 s budget produced a false "tunnel down" error
+    right after such a cold start. 560 s clears the measured worst case
+    with margin while still bounding a genuinely dead tunnel.
     """
     import threading
 
