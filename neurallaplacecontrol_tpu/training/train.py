@@ -31,7 +31,12 @@ import optax
 from ..config import Config
 from ..envs import make_env
 from ..models import DynamicsModel, count_params, make_model
-from ..utils.checkpoint import load_pytree, model_checkpoint_name, save_pytree
+from ..utils.checkpoint import (
+    load_pytree,
+    model_checkpoint_name,
+    resolve_checkpoint,
+    save_pytree,
+)
 from ..utils.timing import Timer
 
 logger = logging.getLogger(__name__)
@@ -122,6 +127,17 @@ def train_model(
         samples_used=config.training_use_only_samples,
     )
     ckpt_path = os.path.join(config.saved_models_path, ckpt_name)
+    # Read-side fallback to the tracked checkpoints (artifacts/checkpoints/)
+    # so eval-only runs (`--retrain false`, reference load-if-exists path,
+    # train_utils.py:282-284) work from a fresh clone whose saved_models/
+    # working dir is empty. Only when the caller left saved_models_path at
+    # its default: a custom path (tests, isolation) stays strict.
+    ckpt_read_path = ckpt_path
+    if (
+        not os.path.isfile(ckpt_path)
+        and config.saved_models_path == Config.saved_models_path
+    ):
+        ckpt_read_path = resolve_checkpoint(ckpt_name)
 
     env = make_env(env_name, ts_grid=config.ts_grid, dt=config.dt * config.train_dt_multiple)
     spec = env.spec
@@ -135,12 +151,12 @@ def train_model(
     logger.info("[%s %s d=%d] params=%d", env_name, model_name, delay, n_params)
 
     if not force_retrain:
-        if not retrain and os.path.isfile(ckpt_path):
-            return model, load_pytree(ckpt_path, params), {"total_reward": None}
+        if not retrain and os.path.isfile(ckpt_read_path):
+            return model, load_pytree(ckpt_read_path, params), {"total_reward": None}
         if not retrain:
             raise ValueError(f"No checkpoint at {ckpt_path} and retrain=False")
-        if start_from_checkpoint and os.path.isfile(ckpt_path):
-            params = load_pytree(ckpt_path, params)
+        if start_from_checkpoint and os.path.isfile(ckpt_read_path):
+            params = load_pytree(ckpt_read_path, params)
 
     if model_name == "latent_ode":
         from .train_latent_ode import train_latent_ode

@@ -2,6 +2,7 @@
 tests (reduced sizes for CPU)."""
 
 import os
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +19,11 @@ from neurallaplacecontrol_tpu.data import (
 )
 from neurallaplacecontrol_tpu.envs import ORACLES, make_env
 from neurallaplacecontrol_tpu.training import train_model
-from neurallaplacecontrol_tpu.utils.checkpoint import load_pytree, save_pytree
+from neurallaplacecontrol_tpu.utils.checkpoint import (
+    load_pytree,
+    model_checkpoint_name,
+    save_pytree,
+)
 
 
 def test_synthetic_data_matches_oracle(key):
@@ -132,6 +137,30 @@ def test_train_reduces_loss_and_checkpoints(model_name, tmp_path):
     # missing checkpoint with retrain=False raises (train_utils.py:285-286)
     with pytest.raises(ValueError):
         train_model("node", "oderl-pendulum", cfg, delay=3, retrain=False)
+
+
+def test_retrain_false_falls_back_to_tracked_checkpoints(tmp_path):
+    """Eval-only loads (reference load-if-exists, train_utils.py:282-284)
+    must see the tracked artifacts/checkpoints/ weights when saved_models/
+    is at its default (fresh clone); a CUSTOM saved_models_path stays
+    strict so tmp-dir test isolation and the miss-raise above hold."""
+    repo = Path(__file__).resolve().parents[1]
+    name = model_checkpoint_name("nl", "oderl-acrobot", 2, "exp", 0, True)
+    tracked = repo / "artifacts" / "checkpoints" / name
+    if not tracked.is_file():
+        pytest.skip("tracked checkpoint not present")
+    assert not (repo / "saved_models" / name).is_file(), (
+        "working dir shadows the fallback under test"
+    )
+    cfg = Config()  # default saved_models_path -> fallback engages
+    model, params, res = train_model("nl", "oderl-acrobot", cfg, delay=2, retrain=False)
+    assert res["total_reward"] is None
+    leaves = jax.tree_util.tree_leaves(params)
+    assert leaves and all(bool(jnp.all(jnp.isfinite(x))) for x in leaves)
+    # custom path: same cell must still raise despite the tracked file
+    cfg_custom = Config(saved_models_path=str(tmp_path) + "/")
+    with pytest.raises(ValueError):
+        train_model("nl", "oderl-acrobot", cfg_custom, delay=2, retrain=False)
 
 
 def test_oracle_val_loss_helpers(key):

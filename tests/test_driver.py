@@ -6,12 +6,14 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import run_exp_multi  # noqa: E402
 
 
+@pytest.mark.slow
 def test_driver_mini_grid(tmp_path):
     results = str(tmp_path / "results.jsonl")
     argv = [
@@ -45,6 +47,7 @@ def test_driver_mini_grid(tmp_path):
     assert any(f.startswith("nl_") for f in os.listdir(tmp_path))
 
 
+@pytest.mark.slow
 def test_driver_ensemble_with_gate(tmp_path):
     """Delay-ensemble training path + the worse-than-random control gate:
     both delays must come out trained, gated, and evaluated."""
@@ -78,6 +81,7 @@ def test_driver_ensemble_with_gate(tmp_path):
     assert cells == {("rnn", 0), ("rnn", 1), ("random", 0), ("random", 1)}
 
 
+@pytest.mark.slow
 def test_driver_gate_catches_planted_bad_ensemble_draw(tmp_path, monkeypatch):
     """VERDICT r2 item 5: a planted bad ensemble draw (model eval sabotaged
     to -1e9 until the first individual retrain) must trip the gate, trigger a
@@ -134,6 +138,7 @@ def test_driver_gate_catches_planted_bad_ensemble_draw(tmp_path, monkeypatch):
     }
 
 
+@pytest.mark.slow
 def test_driver_ensemble_excludes_flagship_by_default(tmp_path, monkeypatch):
     """--ensemble_exclude defaults to 'nl': under --ensemble_delays the
     flagship must go through per-delay train_model, never the ensemble

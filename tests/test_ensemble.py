@@ -47,6 +47,7 @@ def test_single_delay_ensemble_matches_train_model(tmp_path):
 
 
 @pytest.mark.parametrize("model_name", ["delta_t_rnn", "node"])
+@pytest.mark.slow
 def test_multi_delay_ensemble_trains_and_checkpoints(model_name, tmp_path):
     cfg = _cfg(tmp_path, training_epochs=4)
     delays = [0, 2]
@@ -73,6 +74,7 @@ def test_multi_delay_ensemble_trains_and_checkpoints(model_name, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_latent_ode_ensemble_smoke(tmp_path):
     cfg = _cfg(tmp_path, training_epochs=2, training_batch_size=8, iters_per_log=10)
     out = train_model_ensemble(

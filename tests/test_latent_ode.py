@@ -5,6 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from neurallaplacecontrol_tpu.config import Config
 from neurallaplacecontrol_tpu.envs import make_env
@@ -177,6 +178,7 @@ def test_predict_diff_per_row_horizons(key):
     assert float(jnp.abs(out_a[0, 1] - out_b[0, 1]).max()) > 1e-6
 
 
+@pytest.mark.slow
 def test_train_model_forwards_budget_override(tmp_path):
     """Regression (r3): train_model must forward end_training_after_seconds
     to the latent_ode trainer — before the fix the override was dropped and

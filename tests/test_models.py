@@ -127,6 +127,7 @@ def test_overfit_small_batch(model_name):
     assert losses[-1] < losses[0] / 100.0, f"{model_name}: {losses[0]} -> {losses[-1]}"
 
 
+@pytest.mark.slow
 def test_nl_bf16_compute_matches_f32():
     """nl_compute_dtype='bfloat16' runs the GRU+MLP stack in bf16 on the
     MXU while the sphere/ILT stay f32: on a TRAINED checkpoint (an

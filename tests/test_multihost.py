@@ -4,6 +4,7 @@ tests/test_sharding.py; here the REAL 2-process jax.distributed path runs
 through parallel.multihost and must both complete and merge."""
 
 import json
+import pytest
 import os
 import socket
 import subprocess
@@ -60,6 +61,7 @@ def test_two_process_distributed_grid_split(tmp_path):
         assert np.isclose(r["global_total"], expect, rtol=1e-6), (r, expect)
 
 
+@pytest.mark.slow
 def test_two_process_driver_grid(tmp_path):
     """END-TO-END multi-host driver (VERDICT r3 item 5): two jax.distributed
     processes run `run_exp_multi.py --multihost`, split a real 2-cell grid

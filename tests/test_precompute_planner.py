@@ -166,6 +166,7 @@ def test_mppi_command_window_encoder_matches_plain(flags):
     )
 
 
+@pytest.mark.slow
 def test_sharded_window_encoder_matches_single():
     """K-sharded planner with the window encoder == single-chip with the
     window encoder (each shard encodes its local K/n window slice)."""
