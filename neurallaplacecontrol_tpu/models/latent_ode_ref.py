@@ -80,7 +80,11 @@ def _encoder_substep_plan(times: np.ndarray) -> list:
     for i in reversed(range(A)):
         t_i = float(times[i])
         gap = prev_t - t_i
-        if gap < min_step:
+        # min_step == 0 when the grid has a single observation (interval 0,
+        # e.g. action_buffer_size=1): degenerate to one explicit step — the
+        # reference divides by zero here (encoder_decoder.py:276), so any
+        # finite plan is beyond-reference behavior
+        if min_step <= 0.0 or gap < min_step:
             # single explicit step of size (t_i - prev_t) (:265-267)
             steps = [t_i - prev_t]
         else:

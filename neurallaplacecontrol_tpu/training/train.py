@@ -104,6 +104,32 @@ def get_epoch_data(env, env_name, delay, config: Config, key):
     )
 
 
+def _checkpoint_read_path(
+    ckpt_name: str, config: Config, retrain: bool, force_retrain: bool
+) -> str:
+    """Where a checkpoint LOAD may come from (never where saves go).
+
+    Eval-only runs (retrain=False, the reference's load-if-exists path,
+    train_utils.py:282-284) fall back to the tracked artifacts/checkpoints/
+    when saved_models/ has no file, so a fresh clone evaluates out of the
+    box. STRICTLY eval-only: a training run (retrain/force_retrain) must
+    never warm-start from the shipped weights via start_from_checkpoint, or
+    "trained in N seconds" results would silently be fine-tunes of the
+    distributed checkpoints. And only when the caller left
+    saved_models_path at its default: a custom path (tests, isolation)
+    stays strict.
+    """
+    ckpt_path = os.path.join(config.saved_models_path, ckpt_name)
+    if (
+        not retrain
+        and not force_retrain
+        and not os.path.isfile(ckpt_path)
+        and config.saved_models_path == Config.saved_models_path
+    ):
+        return resolve_checkpoint(ckpt_name)
+    return ckpt_path
+
+
 def train_model(
     model_name: str,
     env_name: str,
@@ -127,17 +153,7 @@ def train_model(
         samples_used=config.training_use_only_samples,
     )
     ckpt_path = os.path.join(config.saved_models_path, ckpt_name)
-    # Read-side fallback to the tracked checkpoints (artifacts/checkpoints/)
-    # so eval-only runs (`--retrain false`, reference load-if-exists path,
-    # train_utils.py:282-284) work from a fresh clone whose saved_models/
-    # working dir is empty. Only when the caller left saved_models_path at
-    # its default: a custom path (tests, isolation) stays strict.
-    ckpt_read_path = ckpt_path
-    if (
-        not os.path.isfile(ckpt_path)
-        and config.saved_models_path == Config.saved_models_path
-    ):
-        ckpt_read_path = resolve_checkpoint(ckpt_name)
+    ckpt_read_path = _checkpoint_read_path(ckpt_name, config, retrain, force_retrain)
 
     env = make_env(env_name, ts_grid=config.ts_grid, dt=config.dt * config.train_dt_multiple)
     spec = env.spec
@@ -155,8 +171,9 @@ def train_model(
             return model, load_pytree(ckpt_read_path, params), {"total_reward": None}
         if not retrain:
             raise ValueError(f"No checkpoint at {ckpt_path} and retrain=False")
-        if start_from_checkpoint and os.path.isfile(ckpt_read_path):
-            params = load_pytree(ckpt_read_path, params)
+        # warm-start only from the working dir, never the tracked fallback
+        if start_from_checkpoint and os.path.isfile(ckpt_path):
+            params = load_pytree(ckpt_path, params)
 
     if model_name == "latent_ode":
         from .train_latent_ode import train_latent_ode

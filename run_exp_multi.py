@@ -175,17 +175,15 @@ def main(argv=None):
 
     pid, pcount = 0, 1
     if ns.multihost:
-        # must precede ANY backend use (parallel.multihost.initialize docs)
-        import jax
-
-        from neurallaplacecontrol_tpu.parallel import multihost
-
         addr, _, n = ns.multihost.partition(",")
         if not n:
             parser.error("--multihost must be 'coordinator_host:port,N'")
-        multihost.initialize(addr, int(n), ns.process_id)
-        pid, pcount = jax.process_index(), jax.process_count()
-        if ns.ensemble_delays.lower() == "true":
+        # validate flag combinations BEFORE spinning up jax.distributed: a
+        # plain argument error must not require tearing down a live
+        # coordination service on every host. The ensemble only engages
+        # with >1 delay (use_ensemble below), so a single-delay grid with
+        # --ensemble_delays true is safe.
+        if ns.ensemble_delays.lower() == "true" and len(ns.delays.split(",")) > 1:
             parser.error("--multihost is incompatible with --ensemble_delays "
                          "(ensemble training couples delays across cells)")
         if ns.shard != "none":
@@ -195,6 +193,13 @@ def main(argv=None):
                 "— combining them would deadlock. Use one or the other "
                 "(cell-parallel over DCN, or one cell sharded over ICI)."
             )
+        # must precede ANY backend use (parallel.multihost.initialize docs)
+        import jax
+
+        from neurallaplacecontrol_tpu.parallel import multihost
+
+        multihost.initialize(addr, int(n), ns.process_id)
+        pid, pcount = jax.process_index(), jax.process_count()
 
     shard_kwargs = {}
     if ns.shard == "seeds":
@@ -217,6 +222,11 @@ def main(argv=None):
 
     logger = setup_logger(__file__, log_folder=config.log_folder)
     results_path = ns.results if pcount == 1 else f"{ns.results}.p{pid}"
+    if pcount > 1:
+        # the shard is per-run scratch: JsonlWriter appends, so a stale
+        # shard left by an earlier (or aborted) run at the same --results
+        # path would be re-merged as duplicate records
+        Path(results_path).unlink(missing_ok=True)
     results = JsonlWriter(results_path)
     envs = ns.envs.split(",")
     delays = [int(d) for d in ns.delays.split(",")]
@@ -400,10 +410,21 @@ def main(argv=None):
 
     if pcount > 1:
         # cross-host barrier, then process 0 merges the per-process shards
-        # into the requested results file (shared results dir assumed)
+        # into the requested results file (shared results dir assumed).
+        # The barrier must outlast the SLOWEST host: cell round-robin can
+        # alias with the model list so one process owns every trainable
+        # cell — scale the timeout to the worst per-process training load
+        # (train budget + collection/eval allowance per trainable cell)
+        # instead of trusting the 1 h default.
         from neurallaplacecontrol_tpu.parallel import multihost
 
-        multihost.barrier("nlc_grid_eval_done")
+        no_train = {"oracle", "random"}
+        worst_trainable = max(
+            sum(1 for c in multihost.process_slice(cells, p, pcount) if c[2] not in no_train)
+            for p in range(pcount)
+        )
+        barrier_timeout = max(3600.0, worst_trainable * (ns.train_seconds + 900.0) + 1800.0)
+        multihost.barrier("nlc_grid_eval_done", timeout_s=barrier_timeout)
         if pid != 0:
             logger.info("Fin (process %d; shard %s).", pid, results_path)
             return
@@ -417,6 +438,7 @@ def main(argv=None):
                 rec = json.loads(line)
                 merged.write(rec)
                 run_records.append(rec)
+            shard.unlink()  # consumed — a later run must not re-merge it
         logger.info(
             "[multihost] merged %d records from %d shards into %s",
             len(run_records), pcount, ns.results,

@@ -149,9 +149,8 @@ def test_retrain_false_falls_back_to_tracked_checkpoints(tmp_path):
     tracked = repo / "artifacts" / "checkpoints" / name
     if not tracked.is_file():
         pytest.skip("tracked checkpoint not present")
-    assert not (repo / "saved_models" / name).is_file(), (
-        "working dir shadows the fallback under test"
-    )
+    if (repo / "saved_models" / name).is_file():
+        pytest.skip("working dir shadows the fallback under test")
     cfg = Config()  # default saved_models_path -> fallback engages
     model, params, res = train_model("nl", "oderl-acrobot", cfg, delay=2, retrain=False)
     assert res["total_reward"] is None
@@ -161,6 +160,15 @@ def test_retrain_false_falls_back_to_tracked_checkpoints(tmp_path):
     cfg_custom = Config(saved_models_path=str(tmp_path) + "/")
     with pytest.raises(ValueError):
         train_model("nl", "oderl-acrobot", cfg_custom, delay=2, retrain=False)
+    # the fallback is STRICTLY eval-only: a training run must resolve to
+    # the (empty) working dir, never warm-start from the shipped weights
+    from neurallaplacecontrol_tpu.training.train import _checkpoint_read_path
+
+    assert _checkpoint_read_path(name, cfg, False, False) == str(tracked)
+    for retrain, force in [(True, False), (False, True), (True, True)]:
+        p = _checkpoint_read_path(name, cfg, retrain, force)
+        assert p == os.path.join(cfg.saved_models_path, name)
+        assert not os.path.isfile(p)
 
 
 def test_oracle_val_loss_helpers(key):

@@ -112,16 +112,18 @@ def test_two_process_driver_grid(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"process failed:\n{out}"
 
-    # both per-process shards exist and partition the grid 1+1
-    shard_recs = []
+    # the per-process shards are per-run scratch: consumed (deleted) by the
+    # merge so a later run at the same --results path cannot re-merge them
+    # as duplicates
     for i in range(2):
-        with open(f"{results}.p{i}") as f:
-            shard_recs.append([json.loads(line) for line in f if line.strip()])
-    assert sorted(len(s) for s in shard_recs) == [1, 1]
+        assert not os.path.exists(f"{results}.p{i}")
 
-    # process 0 merged the full grid into the requested file
+    # process 0 merged the full grid into the requested file: one record
+    # per cell and model (the 1+1 shard partition collapses into exactly
+    # these two records — no duplicates, nothing lost)
     with open(results) as f:
         recs = [json.loads(line) for line in f if line.strip()]
+    assert len(recs) == 2
     by_model = {r["model_name"]: r for r in recs}
     assert set(by_model) == {"nl", "random"}
     for r in recs:

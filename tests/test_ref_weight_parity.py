@@ -762,3 +762,18 @@ def test_latent_ode_arch_recovery_and_file_import(ref_latent_ode, tmp_path):
     obs, acts, ts = _inputs(rng, 4)
     out = np.asarray(model.apply(params, obs, acts, ts))
     assert out.shape == (4, STATE_DIM) and np.isfinite(out).all()
+
+
+def test_substep_plan_single_observation_grid():
+    """action_buffer_size=1 => a one-point observation grid (interval 0):
+    the plan must degenerate to one explicit step instead of dividing by
+    zero (the reference's run_odernn does divide by zero there,
+    encoder_decoder.py:276 — uncallable; any finite plan is
+    beyond-reference)."""
+    from neurallaplacecontrol_tpu.models.latent_ode_ref import (
+        _FIRST_GAP,
+        _encoder_substep_plan,
+    )
+
+    plan = _encoder_substep_plan(np.array([0.0]))
+    assert plan == [(0, [-_FIRST_GAP])]
