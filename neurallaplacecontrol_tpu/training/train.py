@@ -120,11 +120,15 @@ def _checkpoint_read_path(
     stays strict.
     """
     ckpt_path = os.path.join(config.saved_models_path, ckpt_name)
+    # path comparison is normalized: './saved_models/', 'saved_models' and
+    # an absolute spelling of the default all engage the fallback (advisor
+    # r4: exact string equality silently disabled it for equivalent paths)
     if (
         not retrain
         and not force_retrain
         and not os.path.isfile(ckpt_path)
-        and config.saved_models_path == Config.saved_models_path
+        and os.path.realpath(config.saved_models_path)
+        == os.path.realpath(Config.saved_models_path)
     ):
         return resolve_checkpoint(ckpt_name)
     return ckpt_path

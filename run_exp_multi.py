@@ -150,7 +150,9 @@ def main(argv=None):
         "process trains and evaluates its own cells and writes "
         "<results>.pN; after a cross-host barrier process 0 merges the "
         "shards into --results and prints the table (shared-filesystem "
-        "results dir assumed, as on pod NFS). Incompatible with "
+        "results dir assumed, as on pod NFS). ALL hosts must pass an "
+        "identical grid and train flags — the barrier timeout and cell "
+        "split are derived from each host's own argv. Incompatible with "
         "--ensemble_delays (its training couples delays across cells).",
     )
     parser.add_argument(
@@ -423,19 +425,34 @@ def main(argv=None):
             sum(1 for c in multihost.process_slice(cells, p, pcount) if c[2] not in no_train)
             for p in range(pcount)
         )
-        barrier_timeout = max(3600.0, worst_trainable * (ns.train_seconds + 900.0) + 1800.0)
+        # eval-only runs (no retrain) skip the per-cell training term — a
+        # genuinely dead host should error at the 1 h floor, not after the
+        # full scaled training allowance (advisor r4)
+        if config.retrain or config.force_retrain:
+            barrier_timeout = max(
+                3600.0, worst_trainable * (ns.train_seconds + 900.0) + 1800.0
+            )
+        else:
+            barrier_timeout = 3600.0
         multihost.barrier("nlc_grid_eval_done", timeout_s=barrier_timeout)
         if pid != 0:
             logger.info("Fin (process %d; shard %s).", pid, results_path)
             return
-        merged = JsonlWriter(ns.results)
-        run_records = []
+        # parse EVERY shard before writing or unlinking anything: a torn
+        # line (killed writer) must fail the merge up front, not after
+        # earlier shards were already consumed (advisor r4)
+        shard_records = []
         for i in range(pcount):
             shard = Path(f"{ns.results}.p{i}")
             if not shard.exists():  # a process can own zero surviving cells
                 continue
-            for line in shard.read_text().splitlines():
-                rec = json.loads(line)
+            shard_records.append(
+                (shard, [json.loads(line) for line in shard.read_text().splitlines()])
+            )
+        merged = JsonlWriter(ns.results)
+        run_records = []
+        for shard, recs in shard_records:
+            for rec in recs:
                 merged.write(rec)
                 run_records.append(rec)
             shard.unlink()  # consumed — a later run must not re-merge it

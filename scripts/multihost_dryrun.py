@@ -78,6 +78,10 @@ def main():
     assert gathered.shape[0] == args.nprocs, gathered.shape
     global_total = float(gathered.sum())
 
+    # 4b. the out-of-band TCP rendezvous barrier (multihost.barrier) — the
+    # same call the driver makes before its shard merge
+    multihost.barrier("dryrun_done", timeout_s=120)
+
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     (out / f"proc{args.pid}.json").write_text(json.dumps({

@@ -23,6 +23,82 @@ def _free_port():
         return s.getsockname()[1]
 
 
+class TestBarrierUnit:
+    """The TCP rendezvous in multihost.barrier, exercised in-process: the
+    two 'hosts' are threads with jax.process_count/index monkeypatched (the
+    real 2-process path runs in the dryrun test below). coordinator port is
+    port-1 because barrier rendezvous on port+1."""
+
+    def _run(self, monkeypatch, n, behaviours, timeout_s=10.0):
+        import threading
+
+        from neurallaplacecontrol_tpu.parallel import multihost
+
+        port = _free_port()
+        addr = f"127.0.0.1:{port - 1}"
+        monkeypatch.setattr("jax.process_count", lambda: n)
+        errs = {}
+
+        def host(pid, fn):
+            monkeypatch.setattr("jax.process_index", lambda: pid)
+            try:
+                fn(multihost, addr, timeout_s)
+            except Exception as e:  # noqa: BLE001 — collected for asserts
+                errs[pid] = e
+
+        # threads share the monkeypatched process_index — patch per-call
+        # instead: barrier reads process_index exactly once at entry, so
+        # bind it through a closure-scoped patch table
+        idx = {}
+
+        def fake_index():
+            return idx[threading.get_ident()]
+
+        monkeypatch.setattr("jax.process_index", fake_index)
+        threads = []
+        for pid, fn in behaviours.items():
+            t = threading.Thread(
+                target=lambda pid=pid, fn=fn: (
+                    idx.__setitem__(threading.get_ident(), pid),
+                    host(pid, fn),
+                )
+            )
+            threads.append(t)
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+            assert not t.is_alive(), "barrier thread hung"
+        return errs
+
+    def test_release_all(self, monkeypatch):
+        done = []
+        mk = lambda: lambda m, a, t: (  # noqa: E731
+            m.barrier("b1", timeout_s=t, coordinator_address=a),
+            done.append(1),
+        )
+        errs = self._run(monkeypatch, 3, {0: mk(), 1: mk(), 2: mk()})
+        assert not errs and len(done) == 3
+
+    def test_name_mismatch_fails_loudly(self, monkeypatch):
+        errs = self._run(monkeypatch, 2, {
+            0: lambda m, a, t: m.barrier("left", timeout_s=t, coordinator_address=a),
+            1: lambda m, a, t: m.barrier("right", timeout_s=t, coordinator_address=a),
+        })
+        assert 0 in errs and isinstance(errs[0], AssertionError)
+        assert "mismatch" in str(errs[0])
+
+    def test_missing_peer_times_out(self, monkeypatch):
+        errs = self._run(monkeypatch, 3, {
+            0: lambda m, a, t: m.barrier("b", timeout_s=2.0, coordinator_address=a),
+            1: lambda m, a, t: m.barrier("b", timeout_s=2.0, coordinator_address=a),
+            # process 2 never shows up
+        }, timeout_s=2.0)
+        assert isinstance(errs[0], TimeoutError)
+        assert "1/2 peers" in str(errs[0])
+        assert isinstance(errs[1], TimeoutError)  # closed-without-ack path
+
+
 def test_two_process_distributed_grid_split(tmp_path):
     # no pytest-timeout in this env — the communicate(timeout=) below bounds it
     port = _free_port()
