@@ -51,6 +51,7 @@ def evaluate_policy(
     shard_seeds: bool = False,
     shard_rollouts: bool = False,
     shard_grid: Optional[tuple] = None,
+    devices: Optional[list] = None,
 ) -> dict:
     """Run one episode per seed; returns the reference's result dict fields
     plus per-seed returns.
@@ -67,8 +68,17 @@ def evaluate_policy(
     seed-episodes spread over one axis while each episode's K rollouts
     shard over the other (parallel.sharding.make_grid_sharded_episodes).
     Mutually exclusive with the other two flags.
+
+    ``devices`` restricts every shard mesh above to an explicit device
+    list. Default is ``jax.devices()`` — the whole (possibly multi-host)
+    platform, which requires every process to enter this call together.
+    Pass ``jax.local_devices()`` on a pod where each host evaluates its
+    OWN cells (the driver's --multihost x --shard composition: DCN splits
+    the grid by cell, each host's cells shard over its local ICI mesh).
     """
     assert model_name in EVAL_MODELS, model_name
+    if devices is None and (shard_seeds or shard_rollouts or shard_grid):
+        devices = jax.devices()
     seeds = list(seeds)  # consumed more than once below
     roll_outs = roll_outs or config.mppi_roll_outs
     time_steps = time_steps or config.mppi_time_steps
@@ -178,7 +188,7 @@ def evaluate_policy(
         from ..parallel import make_k_sharded_mppi_command
         from .rollout import build_goal_running_cost, build_running_cost
 
-        mesh = Mesh(np.asarray(jax.devices()), axis_names=("k",))
+        mesh = Mesh(np.asarray(devices), axis_names=("k",))
         cost_fn = (
             build_goal_running_cost(env)
             if change_goal
@@ -208,11 +218,11 @@ def evaluate_policy(
 
         n_s, n_k = shard_grid
         assert len(seeds) % n_s == 0, (len(seeds), n_s)
-        assert len(jax.devices()) >= n_s * n_k, (
+        assert len(devices) >= n_s * n_k, (
             f"shard_grid={shard_grid} needs {n_s * n_k} devices, "
-            f"only {len(jax.devices())} available"
+            f"only {len(devices)} available"
         )
-        devs = np.asarray(jax.devices()[: n_s * n_k]).reshape(n_s, n_k)
+        devs = np.asarray(devices[: n_s * n_k]).reshape(n_s, n_k)
         mesh = Mesh(devs, axis_names=("seeds", "k"))
         episodes = make_grid_sharded_episodes(
             env, dynamics, mppi_cfg, mppi_params, settings, mesh,
@@ -251,14 +261,14 @@ def evaluate_policy(
             dynamics_carry_init=dynamics_carry_init,
             window_encoder=window_encoder,
         )
-        if shard_seeds and len(jax.devices()) > 1 and keys.shape[0] % len(jax.devices()) == 0:
+        if shard_seeds and len(devices) > 1 and keys.shape[0] % len(devices) == 0:
             # spread independent seed-episodes across the chip mesh — the
             # multi-chip replacement for the reference's 12-worker eval pool
             # (run_exp_multi.py:144-165); XLA partitions the vmapped episode
             # batch along the sharded key axis, no collectives needed.
             from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-            mesh = Mesh(np.asarray(jax.devices()), axis_names=("seeds",))
+            mesh = Mesh(np.asarray(devices), axis_names=("seeds",))
             keys = jax.device_put(keys, NamedSharding(mesh, P("seeds")))
 
         # AOT-compile outside the timed region so the reported throughput

@@ -137,7 +137,10 @@ def main(argv=None):
         "(parallel.make_grid_sharded_episodes). Wraps evaluate_policy's "
         "shard_* flags; 'none' runs single-chip. The random policy has no "
         "rollout batch, so 'rollouts'/'grid' cells fall back to unsharded "
-        "for it.",
+        "for it. Composes with --multihost: each process then shards its "
+        "own cells over jax.local_devices() (cell fan-out on DCN, per-cell "
+        "sharding on the host-local ICI mesh), so axis sizes must fit the "
+        "PER-HOST device count.",
     )
     parser.add_argument(
         "--multihost", type=str, default=None,
@@ -188,13 +191,6 @@ def main(argv=None):
         if ns.ensemble_delays.lower() == "true" and len(ns.delays.split(",")) > 1:
             parser.error("--multihost is incompatible with --ensemble_delays "
                          "(ensemble training couples delays across cells)")
-        if ns.shard != "none":
-            parser.error(
-                "--multihost splits the grid by CELL; --shard builds a "
-                "global-mesh computation all processes must enter together "
-                "— combining them would deadlock. Use one or the other "
-                "(cell-parallel over DCN, or one cell sharded over ICI)."
-            )
         # must precede ANY backend use (parallel.multihost.initialize docs)
         import jax
 
@@ -204,6 +200,15 @@ def main(argv=None):
         pid, pcount = jax.process_index(), jax.process_count()
 
     shard_kwargs = {}
+    if pcount > 1 and ns.shard != "none":
+        # DCN x ICI composition: --multihost splits the grid by CELL, so
+        # each process enters evaluate_policy alone — its shard meshes must
+        # cover only the devices THIS host owns (a global mesh would wait
+        # for peers that are busy with their own cells). This is the pod
+        # story: cell fan-out over DCN, per-cell sharding over local ICI.
+        import jax
+
+        shard_kwargs["devices"] = jax.local_devices()
     if ns.shard == "seeds":
         shard_kwargs = {"shard_seeds": True}
     elif ns.shard == "rollouts":

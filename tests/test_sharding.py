@@ -305,6 +305,34 @@ def test_seed_sharded_eval_matches_unsharded():
     np.testing.assert_allclose(a["total_rewards"], b["total_rewards"], rtol=1e-12)
 
 
+def test_devices_subset_local_mesh_parity():
+    """evaluate_policy(devices=...) restricts every shard mesh to an explicit
+    device subset — the per-host local mesh the driver's --multihost x
+    --shard composition passes (run_exp_multi.py: each pod host shards its
+    OWN cells over jax.local_devices()). Returns must match the unsharded
+    episode on a 4-device subset of the 8 virtual devices in every mode."""
+    import jax
+
+    from neurallaplacecontrol_tpu.config import Config
+    from neurallaplacecontrol_tpu.training import evaluate_policy
+
+    cfg = Config(dt=0.5)  # 20-step episodes for CPU speed
+    local = jax.devices()[:4]
+    kw = dict(seeds=range(4), config=cfg, roll_outs=16, time_steps=4)
+    a = evaluate_policy("oracle", "oderl-pendulum", 1, **kw)
+    for shard in (
+        dict(shard_seeds=True),
+        dict(shard_rollouts=True),
+        dict(shard_grid=(2, 2)),
+    ):
+        b = evaluate_policy(
+            "oracle", "oderl-pendulum", 1, devices=local, **shard, **kw
+        )
+        np.testing.assert_allclose(
+            a["total_rewards"], b["total_rewards"], rtol=1e-9, err_msg=str(shard)
+        )
+
+
 def test_orbax_sharded_checkpoint_roundtrip(tmp_path):
     """Save a tp-sharded params pytree with orbax and restore it directly
     onto the mesh placement."""
