@@ -183,21 +183,39 @@ def main():
     flops_fwd, flops_src = nl_forward_flops(model, params, spec, config)
     forwards_per_sec = rollouts_per_sec * config.mppi_time_steps
     mfu = flops_fwd * forwards_per_sec / V5E_PEAK_BF16_FLOPS
-    print(
-        json.dumps(
-            {
-                "metric": METRIC,
-                "value": round(rollouts_per_sec, 1),
-                "unit": UNIT,
-                "vs_baseline": round(rollouts_per_sec / BASELINE_ROLLOUTS_PER_SEC, 3),
-                "nl_forward_flops": round(flops_fwd),
-                "nl_forward_flops_source": flops_src,
-                "nl_forwards_per_sec": round(forwards_per_sec),
-                "mfu_vs_v5e_bf16_peak": round(mfu, 4),
-                "trained_checkpoint": trained,
-            }
-        )
-    )
+
+    # training-throughput regression gate (VERDICT r4 item 3): update
+    # steps/s of the REAL jitted nl training segment (scan of 500 Adam
+    # steps, batch 16, expert-replay shapes) — scripts/bench_train.py is
+    # the full instrument; this is its nl point at the reference shape. A
+    # failure here must not kill the headline line.
+    train_steps_per_sec = None
+    train_err = None
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from bench_train import bench_nl
+
+        train_steps_per_sec, _ = bench_nl(config, rows=100_000, batch_size=16, segments=2)
+    except Exception as e:  # noqa: BLE001 — reported in the JSON line
+        train_err = repr(e)
+
+    out = {
+        "metric": METRIC,
+        "value": round(rollouts_per_sec, 1),
+        "unit": UNIT,
+        "vs_baseline": round(rollouts_per_sec / BASELINE_ROLLOUTS_PER_SEC, 3),
+        "nl_forward_flops": round(flops_fwd),
+        "nl_forward_flops_source": flops_src,
+        "nl_forwards_per_sec": round(forwards_per_sec),
+        "mfu_vs_v5e_bf16_peak": round(mfu, 4),
+        "trained_checkpoint": trained,
+        "train_steps_per_sec": (
+            round(train_steps_per_sec, 1) if train_steps_per_sec else None
+        ),
+    }
+    if train_err:
+        out["train_bench_error"] = train_err
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -43,6 +43,21 @@ def test_bench_flops_analytic_matches_xla_cost_model():
         assert measured == float(analytic)
 
 
+def test_bench_train_measures_both_families():
+    """bench_train's nl and latent_ode segment throughput harnesses run
+    end-to-end at tiny shapes and report positive steps/s (the nl one is
+    also bench.py's train_steps_per_sec regression gate)."""
+    from scripts.bench_train import bench_latent_ode, bench_nl
+
+    from neurallaplacecontrol_tpu.config import Config
+
+    cfg = Config(training_batch_size=4, iters_per_log=5)
+    for fn in (bench_nl, bench_latent_ode):
+        steps_per_sec, seg_len = fn(cfg, rows=200, batch_size=4, segments=1)
+        assert seg_len == 5
+        assert np.isfinite(steps_per_sec) and steps_per_sec > 0
+
+
 def test_mxu_sweep_measure_one_smoke():
     from scripts.bench_mxu_sweep import measure_one
 
