@@ -113,8 +113,16 @@ def expand_records(records: Iterable[dict]) -> list:
     return rows
 
 
-def normalized_scores(records: Iterable[dict], clip: bool = True) -> dict:
-    """{(delay, env, model): (mean, std, n)} of normalized returns."""
+def normalized_scores(
+    records: Iterable[dict], clip: bool = True, agg: str = "std"
+) -> dict:
+    """{(delay, env, model): (mean, spread, n)} of normalized returns.
+
+    ``agg`` picks the spread statistic: "std" (population std over seeds,
+    the reference's table convention, process_logs.py:183-190) or "ci95"
+    (Student-t 95% half-width via mean_confidence_interval — what any
+    parity/quality CLAIM should quote; seed noise at n<=20 makes bare
+    mean-vs-mean comparisons unreliable, PERF.md r4 int8 lesson)."""
     rows = expand_records(records)
     by_task = defaultdict(list)
     for r in rows:
@@ -130,6 +138,7 @@ def normalized_scores(records: Iterable[dict], clip: bool = True) -> dict:
         # whole summary after a long run
         return REFERENCE_BASELINES.get(delay, {}).get(env)
 
+    assert agg in ("std", "ci95"), agg
     out = {}
     for (delay, env, model), vals in by_task.items():
         ref = baseline(delay, env)
@@ -140,19 +149,22 @@ def normalized_scores(records: Iterable[dict], clip: bool = True) -> dict:
         scores = [100.0 * (v - r_rand) / denom for v in vals]
         if clip:
             scores = [max(0.0, s) for s in scores]
-        out[(delay, env, model)] = (
-            float(np.mean(scores)),
-            float(np.std(scores)),
-            len(scores),
-        )
+        if agg == "ci95":
+            mean, spread = mean_confidence_interval(scores)
+        else:
+            mean, spread = float(np.mean(scores)), float(np.std(scores))
+        out[(delay, env, model)] = (mean, spread, len(scores))
     return out
 
 
 def latex_table(records: Iterable[dict], models: Optional[list] = None,
-                envs: Optional[list] = None, delays: Optional[list] = None) -> str:
+                envs: Optional[list] = None, delays: Optional[list] = None,
+                agg: str = "std") -> str:
     """Emit the paper-style LaTeX table (process_logs.py:196-233):
-    rows = models, column groups = delays x envs, cells mean +/- std."""
-    scores = normalized_scores(records)
+    rows = models, column groups = delays x envs, cells mean +/- spread
+    (``agg`` as in normalized_scores: "std" reference convention, "ci95"
+    Student-t half-width)."""
+    scores = normalized_scores(records, agg=agg)
     delays = delays or sorted({k[0] for k in scores})
     envs = envs or sorted({k[1] for k in scores})
     models = models or sorted({k[2] for k in scores})

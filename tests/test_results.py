@@ -54,6 +54,37 @@ def test_latex_table_renders():
     assert "\\begin{tabular}" in tex and "nl" in tex and "\\pm" in tex
 
 
+def test_normalized_scores_ci95_agg():
+    """agg='ci95' swaps the spread column for the Student-t half-width —
+    the statistic every quality CLAIM quotes (VERDICT r4 item 4). The mean
+    and n must be identical to the std aggregation; the half-width must
+    equal mean_confidence_interval over the same per-seed scores."""
+    std_scores = normalized_scores(_records())
+    ci_scores = normalized_scores(_records(), agg="ci95")
+    key = (0, "oderl-pendulum", "nl")
+    assert ci_scores[key][0] == std_scores[key][0]
+    assert ci_scores[key][2] == std_scores[key][2] == 2
+    # recompute the per-seed normalized scores by hand for the CI check
+    r_rand, r_orac = -610.0, -121.0
+    s = [max(0.0, 100.0 * (v - r_rand) / (r_orac - r_rand)) for v in (-140.0, -900.0)]
+    assert abs(ci_scores[key][1] - mean_confidence_interval(s)[1]) < 1e-9
+    # n=2 Student-t is much wider than the population std
+    assert ci_scores[key][1] > std_scores[key][1]
+
+
+def test_summarize_ci_flag(tmp_path, capsys):
+    """--ci end-to-end through the CLI entry point."""
+    import json
+
+    from neurallaplacecontrol_tpu.results.summarize import main
+
+    path = tmp_path / "r.jsonl"
+    path.write_text("\n".join(json.dumps(r) for r in _records()))
+    main([str(path), "--ci"])
+    out = capsys.readouterr().out
+    assert "ci95, n=2" in out and "\\begin{tabular}" in out
+
+
 def test_mean_confidence_interval():
     m, h = mean_confidence_interval([1.0, 2.0, 3.0, 4.0])
     assert abs(m - 2.5) < 1e-12
