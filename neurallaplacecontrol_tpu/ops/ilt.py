@@ -246,37 +246,81 @@ def _dehoog_nodes(t: jnp.ndarray, terms: int) -> jnp.ndarray:
     return gamma[..., None].astype(cdtype) + 1j * (jnp.pi * k / T[..., None]).astype(cdtype)
 
 
+def _qd_limits(cdtype) -> Tuple[float, float]:
+    """(tiny, big) magnitude rails for the QD recursion at this precision.
+
+    A true transform's QD table is well-conditioned and never touches the
+    rails (the f64 accuracy tests pin dehoog at <=1e-10 with rails in
+    place). A RAW network output mid-training is not a Laplace transform
+    of anything smooth: coefficients can be arbitrarily small or exactly
+    zero, making the q = a[r+1]/a[r] ratios and the e-table divisions
+    singular, which turns the forward pass — not just the gradient — into
+    inf/NaN. Rails are sized so 'big * big' stays finite in the working
+    dtype. (The OTHER f32 NaN source on this path was the sphere map's
+    1 - sin(phi) cancellation, fixed in ops/sphere.py — these rails handle
+    what remains: genuinely degenerate QD tables.)
+    """
+    if jnp.dtype(cdtype) == jnp.complex128:
+        return 1e-280, 1e140
+    return 1e-18, 1e12
+
+
+def _qd_safe_div(num: jnp.ndarray, den: jnp.ndarray, tiny: float) -> jnp.ndarray:
+    """num/den with |den| floored at ``tiny`` (phase preserved)."""
+    mag = jnp.abs(den)
+    den = jnp.where(mag < tiny, den + jnp.asarray(tiny, den.dtype), den)
+    return num / den
+
+
+def _qd_clamp(x: jnp.ndarray, big: float) -> jnp.ndarray:
+    """Rescale |x| down to ``big`` where it exceeds it (phase preserved)."""
+    mag = jnp.abs(x)
+    scale = jnp.where(mag > big, big / mag, jnp.ones_like(mag))
+    return x * scale.astype(x.dtype)
+
+
 def _dehoog_combine(F: jnp.ndarray, t: jnp.ndarray, terms: int) -> jnp.ndarray:
     """De Hoog-Knight-Stokes 1982 QD algorithm, unrolled for static M.
 
     The quotient-difference table is built with python loops over the static
     term count, so XLA sees a fixed DAG; all entries remain batched over the
     leading dims of ``t``.
+
+    Degenerate-input guards (see ``_qd_limits``): QD ratios are floored /
+    magnitude-clamped, and the continued-fraction convergents are jointly
+    renormalized by 1/|B_n| whenever |B_n| leaves the representable band —
+    A/B is invariant under that rescaling, so the guard is EXACT for
+    well-conditioned tables and only alters outputs that were headed for
+    inf/NaN. This is what makes ``dehoog`` trainable in f32 on TPU, where
+    the reference's f64 dynamic range (torch .double()) is unavailable.
     """
     M = _dehoog_M(terms)
     t = _tsafe(t)
     T = _FOURIER_SCALE * t
     gamma = _FOURIER_ALPHA - math.log(_FOURIER_EPS) / (2.0 * T)
     cdtype = _complex_dtype(t.dtype)
+    tiny, big = _qd_limits(cdtype)
 
     a = [F[..., k] for k in range(2 * M + 1)]
     a[0] = a[0] * 0.5
 
     # QD table
     e_prev = [jnp.zeros_like(a[0]) for _ in range(2 * M + 1)]
-    q_prev = [a[r + 1] / a[r] for r in range(2 * M)]
+    q_prev = [
+        _qd_clamp(_qd_safe_div(a[r + 1], a[r], tiny), big) for r in range(2 * M)
+    ]
     d = [None] * (2 * M + 1)
     d[0] = a[0]
     for r in range(1, M + 1):
         e_cur = [
-            q_prev[k + 1] - q_prev[k] + e_prev[k + 1]
+            _qd_clamp(q_prev[k + 1] - q_prev[k] + e_prev[k + 1], big)
             for k in range(2 * (M - r) + 1)
         ]
         d[2 * r - 1] = -q_prev[0]
         d[2 * r] = -e_cur[0]
         if r < M:
             q_cur = [
-                q_prev[k + 1] * e_cur[k + 1] / e_cur[k]
+                _qd_clamp(_qd_safe_div(q_prev[k + 1] * e_cur[k + 1], e_cur[k], tiny), big)
                 for k in range(2 * (M - r))
             ]
             q_prev = q_cur
@@ -289,13 +333,17 @@ def _dehoog_combine(F: jnp.ndarray, t: jnp.ndarray, terms: int) -> jnp.ndarray:
         if n == 2 * M:
             # Pade remainder improves the last convergent
             h2m = 0.5 * (1.0 + z * (d[2 * M - 1] - d[2 * M]))
-            r2m = -h2m * (1.0 - jnp.sqrt(1.0 + z * d[2 * M] / (h2m * h2m)))
+            r2m = -h2m * (1.0 - jnp.sqrt(1.0 + _qd_safe_div(z * d[2 * M], h2m * h2m, tiny)))
             dz = r2m
         else:
             dz = d[n] * z
         A_n, A_nm1 = A_n + dz * A_nm1, A_n
         B_n, B_nm1 = B_n + dz * B_nm1, B_n
-    return jnp.exp(gamma * t) / T * jnp.real(A_n / B_n)
+        # joint renormalization: A/B invariant, keeps the convergents in band
+        mag = jnp.maximum(jnp.abs(A_n), jnp.abs(B_n))
+        s = jnp.where(mag > big, 1.0 / jnp.maximum(mag, tiny), jnp.ones_like(mag)).astype(cdtype)
+        A_n, A_nm1, B_n, B_nm1 = A_n * s, A_nm1 * s, B_n * s, B_nm1 * s
+    return jnp.exp(gamma * t) / T * jnp.real(_qd_safe_div(A_n, B_n, tiny))
 
 
 # ---------------------------------------------------------------------------

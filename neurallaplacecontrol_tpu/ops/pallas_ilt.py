@@ -121,7 +121,9 @@ def _nl_head_kernel(x_ref, wt_ref, wp_ref, bt_ref, bp_ref, sre_ref, sim_ref, out
     phi = jnp.clip(
         jnp.tanh(g_phi) * half_pi, -half_pi + _PHI_MARGIN, half_pi - _PHI_MARGIN
     )
-    r = jnp.cos(phi) / (1.0 - jnp.sin(phi))
+    # cancellation-free 1 - sin(phi) (ops/sphere.py: f32 rounds sin to 1.0
+    # within ~5.6e-4 of the pole, INSIDE the clip margin -> inf/NaN)
+    r = jnp.cos(phi) / (2.0 * jnp.square(jnp.sin(jnp.pi / 4.0 - 0.5 * phi)))
     f_re = r * jnp.cos(theta)
     f_im = r * jnp.sin(theta)
     out_ref[:] = jnp.dot(

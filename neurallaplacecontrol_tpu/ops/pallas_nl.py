@@ -199,7 +199,9 @@ def _nl_forward_kernel(
     theta = jnp.tanh(g_theta) * jnp.pi
     half_pi = jnp.pi / 2.0
     phi = jnp.clip(jnp.tanh(g_phi) * half_pi, -half_pi + _PHI_MARGIN, half_pi - _PHI_MARGIN)
-    r_s = jnp.cos(phi) / (1.0 - jnp.sin(phi))
+    # cancellation-free 1 - sin(phi) (ops/sphere.py: f32 rounds sin to 1.0
+    # within ~5.6e-4 of the pole, INSIDE the clip margin -> inf/NaN)
+    r_s = jnp.cos(phi) / (2.0 * jnp.square(jnp.sin(jnp.pi / 4.0 - 0.5 * phi)))
     f_re = r_s * jnp.cos(theta)
     f_im = r_s * jnp.sin(theta)
     out_ref[:] = jnp.dot(f_re, sre_ref[:], preferred_element_type=f32) - jnp.dot(

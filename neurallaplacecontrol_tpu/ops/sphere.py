@@ -46,8 +46,19 @@ def spherical_to_complex(theta: jnp.ndarray, phi: jnp.ndarray) -> jnp.ndarray:
     at pi/2 and emit inf (the reference never hits this because it trains in
     float64, train_utils.py:267). phi is therefore clipped a hair inside the
     pole, bounding |s| <= ~2e4 — a TPU-f32 robustness requirement.
+
+    The radius is computed as cos(phi) / (2 sin^2(pi/4 - phi/2)), the
+    cancellation-free form of cos(phi)/(1 - sin(phi)): written literally,
+    f32 rounds sin(phi) to exactly 1.0 for all phi within ~5.6e-4 of the
+    pole — INSIDE the clip margin — so the denominator cancels to 0 and the
+    map emits inf/NaN. Observed in practice: dehoog-ILT training drives phi
+    to pi/2 - 2.4e-4 and every forward pass NaN'd until this rewrite
+    (fourier training never saturates phi that far, which is why the
+    literal form survived rounds 1-4).
     """
     half_pi = jnp.pi / 2.0
     phi = jnp.clip(phi, -half_pi + _PHI_MARGIN, half_pi - _PHI_MARGIN)
-    r = jnp.cos(phi) / (1.0 - jnp.sin(phi))
+    half_angle = jnp.pi / 4.0 - 0.5 * phi
+    denom = 2.0 * jnp.square(jnp.sin(half_angle))  # == 1 - sin(phi), exactly
+    r = jnp.cos(phi) / denom
     return jnp.asarray(r * jnp.cos(theta) + 1j * r * jnp.sin(theta))
