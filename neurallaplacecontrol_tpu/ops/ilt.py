@@ -40,6 +40,7 @@ import functools
 import math
 from typing import Callable, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -259,24 +260,41 @@ def _qd_limits(cdtype) -> Tuple[float, float]:
     dtype. (The OTHER f32 NaN source on this path was the sphere map's
     1 - sin(phi) cancellation, fixed in ops/sphere.py — these rails handle
     what remains: genuinely degenerate QD tables.)
+
+    Sizing rule: gradients of a railed division reach |num|/|den|^2 <=
+    big/tiny^2, which must stay below the dtype max — (1e-8, 1e12) gives
+    1e28 < 3.4e38 for f32, (1e-100, 1e100) gives 1e300 < 1.8e308 for f64.
+    True-transform coefficient magnitudes sit many decades inside both
+    rails, so the accuracy tests never see them engage.
     """
     if jnp.dtype(cdtype) == jnp.complex128:
-        return 1e-280, 1e140
-    return 1e-18, 1e12
+        return 1e-100, 1e100
+    return 1e-8, 1e12
 
 
 def _qd_safe_div(num: jnp.ndarray, den: jnp.ndarray, tiny: float) -> jnp.ndarray:
-    """num/den with |den| floored at ``tiny`` (phase preserved)."""
-    mag = jnp.abs(den)
+    """num/den with |den| floored at ``tiny`` (phase preserved).
+
+    The predicate magnitude is taken through ``stop_gradient``: |den| has a
+    NaN derivative at den == 0 (complex abs), and the rail's location is
+    not something training should differentiate through anyway.
+    """
+    mag = jnp.abs(jax.lax.stop_gradient(den))
     den = jnp.where(mag < tiny, den + jnp.asarray(tiny, den.dtype), den)
     return num / den
 
 
 def _qd_clamp(x: jnp.ndarray, big: float) -> jnp.ndarray:
-    """Rescale |x| down to ``big`` where it exceeds it (phase preserved)."""
-    mag = jnp.abs(x)
-    scale = jnp.where(mag > big, big / mag, jnp.ones_like(mag))
-    return x * scale.astype(x.dtype)
+    """Rescale |x| down to ``big`` where it exceeds it (phase preserved).
+
+    The scale is a ``stop_gradient`` constant (straight-through, as in
+    gradient norm-clipping): |x| at x == 0 has a NaN complex-abs
+    derivative, and big/|x| in the untaken branch would poison the
+    where-gradient with inf * 0.
+    """
+    mag = jnp.abs(jax.lax.stop_gradient(x))
+    scale = jnp.where(mag > big, big / jnp.maximum(mag, 1.0), jnp.ones_like(mag))
+    return x * jax.lax.stop_gradient(scale).astype(x.dtype)
 
 
 def _dehoog_combine(F: jnp.ndarray, t: jnp.ndarray, terms: int) -> jnp.ndarray:
@@ -319,8 +337,15 @@ def _dehoog_combine(F: jnp.ndarray, t: jnp.ndarray, terms: int) -> jnp.ndarray:
         d[2 * r - 1] = -q_prev[0]
         d[2 * r] = -e_cur[0]
         if r < M:
+            # ratio first, multiply after: q * (e/e) keeps every division's
+            # numerator railed at big, so d(num/den)/d(den) <= big/tiny^2
+            # stays representable; (q*e)/e would square that bound
             q_cur = [
-                _qd_clamp(_qd_safe_div(q_prev[k + 1] * e_cur[k + 1], e_cur[k], tiny), big)
+                _qd_clamp(
+                    q_prev[k + 1]
+                    * _qd_clamp(_qd_safe_div(e_cur[k + 1], e_cur[k], tiny), big),
+                    big,
+                )
                 for k in range(2 * (M - r))
             ]
             q_prev = q_cur
@@ -339,9 +364,13 @@ def _dehoog_combine(F: jnp.ndarray, t: jnp.ndarray, terms: int) -> jnp.ndarray:
             dz = d[n] * z
         A_n, A_nm1 = A_n + dz * A_nm1, A_n
         B_n, B_nm1 = B_n + dz * B_nm1, B_n
-        # joint renormalization: A/B invariant, keeps the convergents in band
+        # joint renormalization: A/B invariant, keeps the convergents in
+        # band. stop_gradient is EXACT here, not straight-through: every
+        # consumer only sees the ratio A/B, whose true derivative has no
+        # component through a common scale factor.
         mag = jnp.maximum(jnp.abs(A_n), jnp.abs(B_n))
-        s = jnp.where(mag > big, 1.0 / jnp.maximum(mag, tiny), jnp.ones_like(mag)).astype(cdtype)
+        s = jnp.where(mag > big, 1.0 / jnp.maximum(mag, tiny), jnp.ones_like(mag))
+        s = jax.lax.stop_gradient(s).astype(cdtype)
         A_n, A_nm1, B_n, B_nm1 = A_n * s, A_nm1 * s, B_n * s, B_nm1 * s
     return jnp.exp(gamma * t) / T * jnp.real(_qd_safe_div(A_n, B_n, tiny))
 

@@ -20,6 +20,7 @@ from neurallaplacecontrol_tpu.ops import (
     ilt_combine,
     laplace_reconstruct,
 )
+from neurallaplacecontrol_tpu.ops.ilt import effective_terms
 
 TS = jnp.linspace(0.05, 4.0, 40, dtype=jnp.float64)
 
@@ -160,6 +161,56 @@ def test_f32_path_finite():
     f64 = np.asarray(inverse_laplace(F, TS, terms=17, algorithm="fourier"))
     assert np.all(np.isfinite(f32))
     np.testing.assert_allclose(f32, f64, atol=5e-3)
+
+
+def test_sphere_near_pole_f32_finite():
+    """Regression (r5): f32 rounds sin(phi) to exactly 1.0 for phi within
+    ~5.6e-4 of the pole — INSIDE the 1e-4 clip margin — so the literal
+    cos(phi)/(1 - sin(phi)) cancelled to inf/NaN. dehoog-ILT training
+    saturates phi that far (observed pi/2 - 2.4e-4); the half-angle form
+    must stay finite and respect the documented |s| <= ~2e4 bound."""
+    half_pi = np.float32(np.pi / 2)
+    phi = jnp.asarray(
+        [half_pi - 2.4e-4, half_pi - 1.2e-4, -(half_pi - 2.4e-4), 0.0],
+        jnp.float32,
+    )
+    theta = jnp.asarray([0.3, 2.0, -1.0, half_pi], jnp.float32)
+    s = spherical_to_complex(theta, phi)
+    assert s.dtype == jnp.complex64
+    sn = np.asarray(s)
+    assert np.all(np.isfinite(sn.real)) and np.all(np.isfinite(sn.imag))
+    # clip engages at pi/2 - 1e-4 -> radius tops out near 2/margin = 2e4
+    assert np.abs(sn).max() <= 2.1e4
+    # f64 agrees with the f32 magnitudes to f32 precision away from the clip
+    s64 = np.asarray(spherical_to_complex(theta.astype(jnp.float64), phi.astype(jnp.float64)))
+    np.testing.assert_allclose(np.abs(sn[0]), np.abs(s64[0]), rtol=1e-3)
+
+
+def test_dehoog_degenerate_inputs_finite():
+    """The QD rails: exact-zero and near-zero coefficients (raw network
+    outputs, not true transforms) make the quotient-difference ratios
+    singular; the railed recursion must return finite values in f32 AND
+    finite gradients (the trainer's zero_nans should be a backstop, not
+    the steady state)."""
+    terms = 17
+    n = effective_terms(terms, "dehoog")
+    rng = np.random.default_rng(3)
+    F = (rng.standard_normal((8, n)) + 1j * rng.standard_normal((8, n))).astype(np.complex64)
+    F[0, 3] = 0.0  # exact zero denominator in q = a[r+1]/a[r]
+    F[1] = 1e-30  # denormal-range row
+    F[2, ::2] = 1e6  # wild magnitude alternation
+    t = jnp.asarray(rng.uniform(0.05, 2.0, (8,)), jnp.float32)
+    out = ilt_combine(jnp.asarray(F), t, terms, "dehoog")
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    def loss(Fr, Fi):
+        return jnp.sum(ilt_combine(Fr + 1j * Fi, t, terms, "dehoog") ** 2)
+
+    gr, gi = jax.grad(loss, argnums=(0, 1))(
+        jnp.asarray(F.real), jnp.asarray(F.imag)
+    )
+    assert np.all(np.isfinite(np.asarray(gr)))
+    assert np.all(np.isfinite(np.asarray(gi)))
 
 
 def test_cme_converges_on_held_out_pair():

@@ -127,10 +127,16 @@ def test_export_multiplatform_lowering(key, tmp_path):
 
 
 def test_persistent_compile_cache_populates(tmp_path):
+    from jax.experimental.compilation_cache import compilation_cache as cc
+
     prev_dir = jax.config.jax_compilation_cache_dir
     prev_time = jax.config.jax_persistent_cache_min_compile_time_secs
     prev_size = jax.config.jax_persistent_cache_min_entry_size_bytes
     try:
+        # the process-wide cache backend latches the FIRST dir it
+        # initializes with (the conftest points it at .pytest_jit_cache);
+        # reset so persistent_compile_cache's dir takes effect here
+        cc.reset_cache()
         cache = serving.persistent_compile_cache(str(tmp_path / "xla-cache"))
 
         @jax.jit
@@ -143,6 +149,7 @@ def test_persistent_compile_cache_populates(tmp_path):
         entries = os.listdir(cache)
         assert entries, "compile cache dir stayed empty"
     finally:
+        cc.reset_cache()  # release the tmp dir; next compile re-latches conftest's
         jax.config.update("jax_compilation_cache_dir", prev_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_time)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", prev_size)
