@@ -42,10 +42,36 @@ from ..utils.timing import Timer
 logger = logging.getLogger(__name__)
 
 
+def _zap_nonfinite() -> optax.GradientTransformation:
+    """Replace non-finite gradient ELEMENTS (NaN and +/-Inf) with zero.
+
+    optax.zero_nans only zaps NaN: an Inf gradient element — one railed
+    f32 overflow step on the dehoog/cme ILT paths is enough — passes
+    through, clip_by_global_norm then computes an inf norm, inf * 0 = NaN
+    in the rescale, and the params are poisoned permanently (observed:
+    dehoog pendulum-d1 training died at t=799/900 s with train_loss=nan
+    for every step after, logs/run_ilt_dehoog_r5.log:2676). Zapping all
+    non-finite elements makes such a step a one-batch hiccup instead.
+    """
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        updates = jax.tree_util.tree_map(
+            lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)), updates
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(config: Config):
-    # zero_nans first: a rare f32 overflow step (huge ILT prefactor x
-    # saturated sphere output) must not poison the adam moments
-    steps = [optax.zero_nans(), optax.clip_by_global_norm(config.clip_grad_norm)]
+    # zap non-finite grads first: a rare f32 overflow step (huge ILT
+    # prefactor x saturated sphere output) must not poison the adam moments
+    steps = [_zap_nonfinite(), optax.clip_by_global_norm(config.clip_grad_norm)]
     if config.weight_decay:
         steps.append(optax.add_decayed_weights(config.weight_decay))
     lr = config.learning_rate

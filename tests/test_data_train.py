@@ -340,3 +340,36 @@ def test_parse_args_optional_int():
     cfg = parse_args(["--training_use_only_samples", "1000"])
     assert cfg.training_use_only_samples == 1000
     assert isinstance(cfg.training_use_only_samples, int)
+
+
+def test_optimizer_survives_nonfinite_gradients():
+    """Regression (r5): an Inf gradient element slipped past optax.zero_nans,
+    clip_by_global_norm turned the inf norm into a NaN rescale, and params
+    were poisoned for the rest of training (dehoog pendulum-d1 died at
+    t=799/900 s, logs/run_ilt_dehoog_r5.log). The optimizer chain must treat
+    NaN AND Inf gradients as a one-batch hiccup: params stay finite and a
+    subsequent clean step still updates them."""
+    import optax
+
+    from neurallaplacecontrol_tpu.training.train import make_optimizer
+
+    opt = make_optimizer(Config())
+    params = {"w": jnp.ones((3,)), "b": jnp.ones((2,))}
+    state = opt.init(params)
+
+    for bad in (jnp.inf, -jnp.inf, jnp.nan):
+        grads = {"w": jnp.asarray([1.0, bad, 2.0]), "b": jnp.asarray([bad, 0.5])}
+        updates, state = opt.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+        assert all(
+            bool(jnp.all(jnp.isfinite(v))) for v in jax.tree_util.tree_leaves(params)
+        ), f"params went non-finite on {bad} gradient"
+
+    before = params["w"].copy()
+    updates, state = opt.update(
+        {"w": jnp.asarray([0.1, 0.2, 0.3]), "b": jnp.asarray([0.1, 0.2])},
+        state,
+        params,
+    )
+    params = optax.apply_updates(params, updates)
+    assert bool(jnp.any(params["w"] != before)), "clean step after hiccup must update"
