@@ -38,6 +38,17 @@ class Config:
     training_batch_size: int = 16
     iters_per_log: int = 500
     clip_grad_norm: float = 0.1
+    # Reject-don't-clip guard for exploding batches (beyond-reference; the
+    # reference trains its ILT heads in torch f64 where the dehoog/cme QD
+    # rails never overflow — train_utils.py:407 clips but never rejects).
+    # An update whose batch loss exceeds skip_factor x the previous
+    # segment's MEDIAN loss (or is non-finite) is skipped outright: params
+    # AND Adam moments stay untouched, so one railed f32 overflow batch
+    # cannot yank a converged model off its basin (observed: dehoog
+    # pendulum-d1, loss 4e-4 -> 1e18 kicks recurring from epoch ~22,
+    # artifacts/ilt_train_r5/). None or 0 disables the factor cap
+    # (non-finite losses are always skipped).
+    training_loss_skip_factor: Optional[float] = 100.0
     normalize: bool = True
     normalize_time: bool = True
     train_dt_multiple: float = 1.0

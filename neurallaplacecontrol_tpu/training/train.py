@@ -9,6 +9,10 @@ Rebuild of reference train_utils.train_model (:159-492):
 - best-loss checkpointing every iters_per_log (:440-448)
 - wall-clock cutoff (:415-425) — compile time is excluded from the budget so
   TPU jit warmup doesn't eat training time (SURVEY.md §7 hard part 6)
+- reject-don't-clip guard (beyond reference): non-finite or exploding
+  batches (Config.training_loss_skip_factor x previous segment median)
+  are skipped without touching params or Adam moments — the reference's
+  f64 torch path never overflows, our railed f32 ILT heads can
 
 TPU notes: the update step is one jit with donated (params, opt_state); the
 whole epoch's minibatch loop runs as a ``lax.scan`` over pre-shuffled batch
@@ -19,6 +23,7 @@ trips — the reference pays one python iteration per batch).
 from __future__ import annotations
 
 import logging
+import math
 import os
 import time
 from functools import partial
@@ -92,7 +97,7 @@ def make_train_segment_fn(model: DynamicsModel, optimizer):
     the reference's logging/checkpoint cadence at train_utils.py:410-448)."""
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def segment_fn(params, opt_state, s0, a0, sn, ts, batch_idx):
+    def segment_fn(params, opt_state, s0, a0, sn, ts, batch_idx, loss_cap=jnp.inf):
         def update(carry, idx):
             params, opt_state = carry
 
@@ -102,8 +107,26 @@ def make_train_segment_fn(model: DynamicsModel, optimizer):
                 return jnp.mean((jnp.squeeze(pred) - jnp.squeeze(target)) ** 2)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            updates, new_opt_state = optimizer.update(grads, opt_state, params)
+            # reject-don't-clip: a non-finite or exploding batch (loss above
+            # ``loss_cap``, which train_model derives from the previous
+            # segment's median via Config.training_loss_skip_factor) must
+            # move NEITHER params NOR the Adam moments. Clipping alone
+            # bounds the step size but still walks a converged model in a
+            # garbage direction and poisons the moments — observed as
+            # recurring 4e-4 -> 1e18 loss kicks on the dehoog ILT head
+            # (artifacts/ilt_train_r5/). The loss is still reported so
+            # skipped batches stay visible in the training log.
+            ok = jnp.isfinite(loss) & (loss <= loss_cap)
+            params = optax.apply_updates(
+                params,
+                jax.tree_util.tree_map(
+                    lambda u: jnp.where(ok, u, jnp.zeros_like(u)), updates
+                ),
+            )
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), new_opt_state, opt_state
+            )
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(update, (params, opt_state), batch_idx)
@@ -229,6 +252,9 @@ def train_model(
     timer = Timer()
     best_loss = float("inf")
     last_loss = float("nan")
+    # reject-don't-clip cap for exploding batches; the first segment runs
+    # unguarded (untrained models legitimately start at pole-scale losses)
+    loss_cap = float("inf")
     data_key = jax.random.PRNGKey(model_seed + 10_000)
     epoch_losses = []
     compiled = set()
@@ -267,17 +293,24 @@ def train_model(
             if shape_key not in compiled:
                 with timer.exclude():  # jit compile excluded from budget
                     params, opt_state, losses = segment_fn(
-                        params, opt_state, s0, a0, sn, ts, batches[seg_i]
+                        params, opt_state, s0, a0, sn, ts, batches[seg_i],
+                        loss_cap,
                     )
                     jax.block_until_ready(losses)
                 compiled.add(shape_key)
             else:
                 params, opt_state, losses = segment_fn(
-                    params, opt_state, s0, a0, sn, ts, batches[seg_i]
+                    params, opt_state, s0, a0, sn, ts, batches[seg_i], loss_cap
                 )
             track_loss = float(jnp.mean(losses))
             last_loss = float(losses[-1])
             seg_losses.append(track_loss)
+            if config.training_loss_skip_factor:
+                # the MEDIAN is robust to the very spikes the cap rejects;
+                # a mean-based cap would inflate after each spike segment
+                seg_median = float(jnp.median(losses))
+                if math.isfinite(seg_median) and seg_median > 0:
+                    loss_cap = config.training_loss_skip_factor * seg_median
             elapsed = timer.elapsed()
             logger.info(
                 "[%s %s d=%d][epoch=%04d|seg=%03d/%03d|t=%.0f/%s] train_loss=%g",

@@ -116,6 +116,22 @@ def main(argv=None):
         "margin >= 0; the +1-std default also rejects bad-but-lucky draws.",
     )
     parser.add_argument(
+        "--train_gate", type=str, default="nl",
+        help="comma-separated model families control-evaled against the "
+        "random policy after INDIVIDUAL (per-delay) training; a draw that "
+        "fails the margin is retrained with model_seed+attempt. Guards the "
+        "bad-draw landmine on the main training path — observed twice: the "
+        "NL-d3 ensemble draw (artifacts/run_nl_d3_diag.log) and the cme "
+        "pendulum-d1 individual draw (artifacts/ilt_train_r5/, train loss "
+        "5.5e-4 yet -793 < random, seed-1 retrain recovered). Uses the "
+        "--ensemble_gate_seeds/_margin knobs. 'none' disables.",
+    )
+    parser.add_argument(
+        "--train_gate_retries", type=int, default=2,
+        help="max reseeded retrains per cell when --train_gate fails; the "
+        "last draw is kept (with a warning) if all retries fail",
+    )
+    parser.add_argument(
         "--ensemble_exclude", type=str, default="nl",
         help="model families trained per-delay individually even when "
         "--ensemble_delays is true. Defaults to the flagship: the delay "
@@ -332,6 +348,8 @@ def main(argv=None):
     if config.retrain or config.force_retrain:
         # per-delay individual training: all models when not ensembling,
         # plus the --ensemble_exclude families (default: the NL flagship)
+        train_gated = set(ns.train_gate.lower().split(",")) - {"none", ""}
+        gate_rand_cache = {}  # (env, delay) -> random-policy eval (model-free)
         for env_name in envs:
             for delay in delays:
                 for model_name in seq_models:
@@ -348,12 +366,68 @@ def main(argv=None):
                             start_from_checkpoint=config.start_from_checkpoint,
                             end_training_after_seconds=ns.train_seconds,
                         )
-                        trained[(env_name, delay, model_name)] = (model, params)
                         logger.info(
                             "[trained %s %s d=%d] loss=%g (%.0fs)",
                             env_name, model_name, delay,
                             res["best_val_loss"], time.time() - t0,
                         )
+                        if model_name in train_gated:
+                            # bad-draw gate for the MAIN training path: a
+                            # draw can hit train MSE yet plan below random
+                            # (seen twice — artifacts/run_nl_d3_diag.log,
+                            # artifacts/ilt_train_r5/). Control-eval vs the
+                            # random policy; reseed-retrain on failure.
+                            apply = (
+                                model if model_name == "latent_ode"
+                                else model.apply
+                            )
+                            for attempt in range(ns.train_gate_retries + 1):
+                                ok, r_m, r_r = ensemble_gate_check(
+                                    model_name, env_name, delay, apply,
+                                    params, config,
+                                    seeds=ns.ensemble_gate_seeds,
+                                    margin_stds=ns.ensemble_gate_margin,
+                                    random_result=gate_rand_cache.get(
+                                        (env_name, delay)
+                                    ),
+                                )
+                                gate_rand_cache[(env_name, delay)] = r_r
+                                if ok:
+                                    break
+                                if attempt == ns.train_gate_retries:
+                                    logger.warning(
+                                        "[train gate %s %s d=%d] all %d "
+                                        "reseeded retrains failed the "
+                                        "random-control margin — keeping "
+                                        "the last draw",
+                                        env_name, model_name, delay,
+                                        ns.train_gate_retries,
+                                    )
+                                    break
+                                next_seed = config.model_seed + attempt + 1
+                                logger.warning(
+                                    "[train gate %s %s d=%d] draw fails the "
+                                    "random-control margin (%.1f < %.1f + "
+                                    "%g*%.1f) — retraining with "
+                                    "model_seed=%d",
+                                    env_name, model_name, delay,
+                                    r_m["total_reward"], r_r["total_reward"],
+                                    ns.ensemble_gate_margin,
+                                    r_r.get("total_reward_std", 0.0),
+                                    next_seed,
+                                )
+                                model, params, res = train_model(
+                                    model_name, env_name, config, delay=delay,
+                                    retrain=True, force_retrain=True,
+                                    model_seed=next_seed,
+                                    start_from_checkpoint=False,
+                                    end_training_after_seconds=ns.train_seconds,
+                                )
+                                apply = (
+                                    model if model_name == "latent_ode"
+                                    else model.apply
+                                )
+                        trained[(env_name, delay, model_name)] = (model, params)
                     except Exception:  # noqa: BLE001 — quarantine (:46-56)
                         logger.error(
                             "[train FAILED %s %s d=%d]\n%s",

@@ -373,3 +373,62 @@ def test_optimizer_survives_nonfinite_gradients():
     )
     params = optax.apply_updates(params, updates)
     assert bool(jnp.any(params["w"] != before)), "clean step after hiccup must update"
+
+
+def test_segment_fn_skips_exploding_and_nonfinite_batches():
+    """Reject-don't-clip (r5): a batch whose loss exceeds ``loss_cap`` (or is
+    non-finite) must leave params AND optimizer state bit-exactly untouched —
+    clipping alone still walks a converged model in a garbage direction and
+    poisons the Adam moments (dehoog pendulum-d1's recurring 4e-4 -> 1e18
+    loss kicks, artifacts/ilt_train_r5/). Sequence [clean, spike, clean]
+    under the cap must therefore reproduce [clean, clean] exactly."""
+    from neurallaplacecontrol_tpu.training.train import (
+        make_optimizer,
+        make_train_segment_fn,
+    )
+
+    class _Lin:  # minimal DynamicsModel duck-type: only .apply is used
+        @staticmethod
+        def apply(p, s0, a0, ts):
+            return s0 @ p["w"]
+
+    optimizer = make_optimizer(Config())
+    segment = make_train_segment_fn(_Lin, optimizer)
+
+    def fresh():  # segment_fn donates (params, opt_state)
+        p = {"w": jnp.eye(2) * 0.5}
+        return p, optimizer.init(p)
+
+    k = jax.random.PRNGKey(0)
+    s0 = jax.random.normal(k, (8, 2))
+    a0 = jnp.zeros((8, 1, 1))
+    ts = jnp.full((8, 1), 0.05)
+    sn = s0 * 1.1
+    sn_spike = sn.at[4:6].set(1e12)  # rows 4-5: loss ~1e24
+    sn_nan = sn.at[4:6].set(jnp.nan)
+    clean_pair = jnp.asarray([[0, 1], [2, 3]])
+    with_spike = jnp.asarray([[0, 1], [4, 5], [2, 3]])
+
+    p, o = fresh()
+    p_ref, o_ref, _ = segment(p, o, s0, a0, sn, ts, clean_pair)
+
+    # capped spike batch: bit-exact no-op for params and opt state
+    p, o = fresh()
+    p_cap, o_cap, losses = segment(p, o, s0, a0, sn_spike, ts, with_spike, 1e6)
+    assert float(losses[1]) > 1e6  # the spike is still REPORTED
+    assert jnp.array_equal(p_cap["w"], p_ref["w"])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(o_cap), jax.tree_util.tree_leaves(o_ref)
+    ):
+        assert jnp.array_equal(a, b)
+
+    # default cap (inf): the spike batch IS applied (clipped), params differ
+    p, o = fresh()
+    p_nocap, _, _ = segment(p, o, s0, a0, sn_spike, ts, with_spike)
+    assert not jnp.array_equal(p_nocap["w"], p_ref["w"])
+    assert bool(jnp.all(jnp.isfinite(p_nocap["w"])))
+
+    # a non-finite loss is skipped even at the default cap
+    p, o = fresh()
+    p_nan, _, _ = segment(p, o, s0, a0, sn_nan, ts, with_spike)
+    assert jnp.array_equal(p_nan["w"], p_ref["w"])

@@ -24,6 +24,7 @@ def test_driver_mini_grid(tmp_path):
         "--train_seconds", "15",
         "--retrain", "true",
         "--force_retrain", "true",
+        "--train_gate", "none",  # a 15 s draw needn't clear the margin
         "--seed_runs", "2",
         "--dt", "0.5",
         "--mppi_roll_outs", "8",
@@ -166,6 +167,7 @@ def test_driver_ensemble_excludes_flagship_by_default(tmp_path, monkeypatch):
         "--train_seconds", "8",
         "--retrain", "true",
         "--force_retrain", "true",
+        "--train_gate", "none",  # an 8 s draw needn't clear the margin
         "--ensemble_delays", "true",
         "--seed_runs", "2",
         "--dt", "0.5",
@@ -237,3 +239,113 @@ def test_driver_profile_trace_flag(tmp_path):
         os.path.join(dp, f) for dp, _, fs in os.walk(cell_dir) for f in fs
     ]
     assert found, "trace directory is empty"
+
+
+@pytest.mark.slow
+def test_driver_train_gate_reseeds_planted_bad_individual_draw(
+    tmp_path, monkeypatch
+):
+    """--train_gate (default-on for nl; here rnn for a 10 s budget): a
+    planted bad INDIVIDUAL draw — the first gate-check eval sabotaged to
+    -1e9, the second forced to +1e9 so the outcome never depends on what
+    an 8 s rnn draw actually learns — must trip the gate, trigger exactly
+    one retrain with model_seed+1 (force_retrain, no checkpoint resume),
+    and leave honest final results. Guards the landmine that hit the cme
+    pendulum-d1 cell (artifacts/ilt_train_r5/: train loss 5.5e-4 yet
+    -793 < random) on the main per-delay training path, which the r2-era
+    gate only covered for ensemble training. Gate evals are distinguished
+    from the final per-cell eval by seed count (gate 2 vs seed_runs 3)."""
+    reseeded = []
+    real_train = run_exp_multi.train_model
+
+    def counting_train(model_name, env_name, config, **kw):
+        if kw.get("force_retrain") and not kw.get("start_from_checkpoint", True):
+            reseeded.append((model_name, kw.get("delay"), kw.get("model_seed")))
+        return real_train(model_name, env_name, config, **kw)
+
+    real_eval = run_exp_multi.evaluate_policy
+    gate_evals = []
+
+    def sabotaged_eval(model_name, env_name, delay, **kw):
+        r = real_eval(model_name, env_name, delay, **kw)
+        if model_name == "rnn" and "params" in kw and len(kw["seeds"]) == 2:
+            gate_evals.append(kw["seeds"])
+            # planted bad draw on the first gate check; forced pass on the
+            # second so the test never hinges on real 8 s training quality
+            forced = -1e9 if len(gate_evals) == 1 else 1e9
+            r = dict(r, total_reward=forced)
+        return r
+
+    monkeypatch.setattr(run_exp_multi, "train_model", counting_train)
+    monkeypatch.setattr(run_exp_multi, "evaluate_policy", sabotaged_eval)
+
+    results = str(tmp_path / "results.jsonl")
+    argv = [
+        "--envs", "oderl-pendulum",
+        "--delays", "0",
+        "--models", "rnn,random",
+        "--results", results,
+        "--train_seconds", "8",
+        "--retrain", "true",
+        "--force_retrain", "true",
+        "--train_gate", "rnn",
+        "--train_gate_retries", "2",
+        "--ensemble_gate_seeds", "2",
+        "--ensemble_gate_margin", "0",
+        "--model_seed", "7",
+        "--seed_runs", "3",
+        "--dt", "0.5",
+        "--mppi_roll_outs", "8",
+        "--mppi_time_steps", "3",
+        "--train_with_expert_trajectories", "false",
+        "--train_samples_per_dim", "3",
+        "--iters_per_log", "50",
+        "--saved_models_path", str(tmp_path) + "/",
+        "--log_folder", str(tmp_path),
+    ]
+    run_exp_multi.main(argv)
+    # exactly one reseeded retrain: gate check 1 fails (forced), gate
+    # check 2 on the reseeded draw passes (forced)
+    assert reseeded == [("rnn", 0, 8)]
+    assert len(gate_evals) == 2
+    with open(results) as f:
+        recs = [json.loads(line) for line in f if line.strip()]
+    by_model = {r["model_name"]: r for r in recs if not r.get("errored")}
+    assert set(by_model) == {"rnn", "random"}
+    assert by_model["rnn"]["total_reward"] > -1e8  # final eval is honest
+
+
+def test_driver_train_gate_none_skips_control_eval(tmp_path, monkeypatch):
+    """--train_gate none must not spend any control evals: the only
+    evaluate_policy calls are the final per-cell evaluations."""
+    calls = []
+    real_eval = run_exp_multi.evaluate_policy
+
+    def spying_eval(model_name, env_name, delay, **kw):
+        calls.append(model_name)
+        return real_eval(model_name, env_name, delay, **kw)
+
+    monkeypatch.setattr(run_exp_multi, "evaluate_policy", spying_eval)
+
+    results = str(tmp_path / "results.jsonl")
+    argv = [
+        "--envs", "oderl-pendulum",
+        "--delays", "0",
+        "--models", "rnn",
+        "--results", results,
+        "--train_seconds", "5",
+        "--retrain", "true",
+        "--force_retrain", "true",
+        "--train_gate", "none",
+        "--seed_runs", "2",
+        "--dt", "0.5",
+        "--mppi_roll_outs", "8",
+        "--mppi_time_steps", "3",
+        "--train_with_expert_trajectories", "false",
+        "--train_samples_per_dim", "3",
+        "--iters_per_log", "50",
+        "--saved_models_path", str(tmp_path) + "/",
+        "--log_folder", str(tmp_path),
+    ]
+    run_exp_multi.main(argv)
+    assert calls == ["rnn"]

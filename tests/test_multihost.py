@@ -224,6 +224,7 @@ def test_two_process_driver_grid(tmp_path):
         "--train_seconds", "12",
         "--retrain", "true",
         "--force_retrain", "true",
+        "--train_gate", "none",  # a 12 s draw needn't clear the margin
         "--seed_runs", "2",
         "--dt", "0.5",
         "--mppi_roll_outs", "8",
