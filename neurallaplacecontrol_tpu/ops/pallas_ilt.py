@@ -121,9 +121,14 @@ def _nl_head_kernel(x_ref, wt_ref, wp_ref, bt_ref, bp_ref, sre_ref, sim_ref, out
     phi = jnp.clip(
         jnp.tanh(g_phi) * half_pi, -half_pi + _PHI_MARGIN, half_pi - _PHI_MARGIN
     )
-    # cancellation-free 1 - sin(phi) (ops/sphere.py: f32 rounds sin to 1.0
-    # within ~5.6e-4 of the pole, INSIDE the clip margin -> inf/NaN)
-    r = jnp.cos(phi) / (2.0 * jnp.square(jnp.sin(jnp.pi / 4.0 - 0.5 * phi)))
+    # per-hemisphere cancellation-free radius (ops/sphere.py: the literal
+    # cos/(1-sin) cancels to inf/NaN within ~5.6e-4 of the pole in f32)
+    sin_phi = jnp.sin(phi)
+    cos_phi = jnp.cos(phi)
+    north = phi >= 0.0
+    r = jnp.where(north, 1.0 + sin_phi, cos_phi) / jnp.where(
+        north, cos_phi, 1.0 - sin_phi
+    )
     f_re = r * jnp.cos(theta)
     f_im = r * jnp.sin(theta)
     out_ref[:] = jnp.dot(

@@ -199,9 +199,14 @@ def _nl_forward_kernel(
     theta = jnp.tanh(g_theta) * jnp.pi
     half_pi = jnp.pi / 2.0
     phi = jnp.clip(jnp.tanh(g_phi) * half_pi, -half_pi + _PHI_MARGIN, half_pi - _PHI_MARGIN)
-    # cancellation-free 1 - sin(phi) (ops/sphere.py: f32 rounds sin to 1.0
-    # within ~5.6e-4 of the pole, INSIDE the clip margin -> inf/NaN)
-    r_s = jnp.cos(phi) / (2.0 * jnp.square(jnp.sin(jnp.pi / 4.0 - 0.5 * phi)))
+    # per-hemisphere cancellation-free radius (ops/sphere.py: the literal
+    # cos/(1-sin) cancels to inf/NaN within ~5.6e-4 of the pole in f32)
+    sin_phi = jnp.sin(phi)
+    cos_phi = jnp.cos(phi)
+    north = phi >= 0.0
+    r_s = jnp.where(north, 1.0 + sin_phi, cos_phi) / jnp.where(
+        north, cos_phi, 1.0 - sin_phi
+    )
     f_re = r_s * jnp.cos(theta)
     f_im = r_s * jnp.sin(theta)
     out_ref[:] = jnp.dot(f_re, sre_ref[:], preferred_element_type=f32) - jnp.dot(

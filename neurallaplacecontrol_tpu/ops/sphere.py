@@ -47,18 +47,34 @@ def spherical_to_complex(theta: jnp.ndarray, phi: jnp.ndarray) -> jnp.ndarray:
     float64, train_utils.py:267). phi is therefore clipped a hair inside the
     pole, bounding |s| <= ~2e4 — a TPU-f32 robustness requirement.
 
-    The radius is computed as cos(phi) / (2 sin^2(pi/4 - phi/2)), the
-    cancellation-free form of cos(phi)/(1 - sin(phi)): written literally,
-    f32 rounds sin(phi) to exactly 1.0 for all phi within ~5.6e-4 of the
+    The radius cos(phi)/(1 - sin(phi)) is NOT computed literally: f32
+    rounds sin(phi) to exactly 1.0 for all phi within ~5.6e-4 of the north
     pole — INSIDE the clip margin — so the denominator cancels to 0 and the
-    map emits inf/NaN. Observed in practice: dehoog-ILT training drives phi
-    to pi/2 - 2.4e-4 and every forward pass NaN'd until this rewrite
-    (fourier training never saturates phi that far, which is why the
-    literal form survived rounds 1-4).
+    literal form emits inf/NaN. Observed in practice: dehoog-ILT training
+    drives phi to pi/2 - 2.4e-4 and every forward pass NaN'd (fourier
+    training never saturates phi that far, which is why the literal form
+    survived rounds 1-4). Instead each hemisphere uses the reciprocal form
+    that is cancellation-free there:
+
+        phi >= 0:  r = (1 + sin(phi)) / cos(phi)     (north: no subtraction;
+                                                       cos >= ~margin > 0)
+        phi <  0:  r = cos(phi) / (1 - sin(phi))     (south: 1 - sin >= 1)
+
+    algebraically identical (multiply by (1+sin)/(1+sin)), so the select at
+    phi = 0 is seamless in value and gradient. Both branches keep sin/cos on
+    the SAME argument phi: an earlier half-angle rewrite
+    (2 sin^2(pi/4 - phi/2) for the denominator) was numerically fine but
+    broke that pairing and measured 0.915x on the planner headline (1.43M
+    vs 1.56M rollouts/s) — the odd-argument sine degraded the NL-decode
+    mega-fusion. Neither selected denominator can reach 0 inside the clip
+    range, so no masking is needed for value or gradient safety.
     """
     half_pi = jnp.pi / 2.0
     phi = jnp.clip(phi, -half_pi + _PHI_MARGIN, half_pi - _PHI_MARGIN)
-    half_angle = jnp.pi / 4.0 - 0.5 * phi
-    denom = 2.0 * jnp.square(jnp.sin(half_angle))  # == 1 - sin(phi), exactly
-    r = jnp.cos(phi) / denom
+    sin_phi = jnp.sin(phi)
+    cos_phi = jnp.cos(phi)
+    north = phi >= 0.0
+    num = jnp.where(north, 1.0 + sin_phi, cos_phi)
+    den = jnp.where(north, cos_phi, 1.0 - sin_phi)
+    r = num / den
     return jnp.asarray(r * jnp.cos(theta) + 1j * r * jnp.sin(theta))
